@@ -1,0 +1,178 @@
+"""Engine configuration.
+
+Capability parity with the reference `Config`
+(reference: src/config.rs:16-185): the same knobs, validation rules, JSON
+load/save, and `with_*` builders — plus TPU-specific additions (mesh shape,
+quantization, KV-cache dtype, shape-bucketing controls) that have no reference
+counterpart.
+
+TPU-first deviations from the reference:
+- `kvcache_block_size` defaults to 64 and must be a multiple of 16 (the bf16
+  sublane tile), not a multiple of 256 (reference: src/config.rs:93 — a
+  candle/CUDA constraint). Smaller blocks give finer-grained prefix caching
+  and map onto Pallas paged-attention tiles.
+- `device` is "tpu"/"cpu" (jax platforms) instead of "cuda"/"cpu"/"metal".
+- `enforce_eager` disables the bucketed-jit decode path analogue of CUDA
+  graphs (reference: src/engine/model_runner.rs:99).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+_VALID_DEVICES = ("tpu", "cpu", "gpu")
+_VALID_DTYPES = ("bfloat16", "float32", "float16")
+_VALID_QUANT = (None, "int8", "int4")
+_VALID_KV_DTYPES = ("auto", "bfloat16", "float32", "int8", "fp8")
+
+
+@dataclass
+class Config:
+    """Top-level engine configuration (reference: src/config.rs:16-52)."""
+
+    model_path: str = ""
+    max_num_batched_tokens: int = 32768
+    max_num_seqs: int = 512
+    max_model_len: int = 4096
+    # Fraction of device HBM the KV cache may use when `num_kvcache_blocks`
+    # is not set explicitly (reference: gpu_memory_utilization, config.rs:31).
+    memory_utilization: float = 0.9
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    enforce_eager: bool = False
+    eos_token_id: Optional[int] = None
+    kvcache_block_size: int = 64
+    num_kvcache_blocks: Optional[int] = None
+    device: str = "tpu"
+    dtype: str = "bfloat16"
+
+    # --- TPU-native extensions (no reference counterpart) ---
+    # Weight-only quantization applied at load time.
+    quantization: Optional[str] = None
+    # KV-cache storage dtype; "auto" follows `dtype`.
+    kv_cache_dtype: str = "auto"
+    # Use Pallas kernels for attention when available (falls back to the
+    # pure-jnp reference ops on CPU or when False).
+    use_pallas: bool = True
+    # Shape buckets for the jitted decode step (batch sizes). The analogue of
+    # the reference's per-batch-size CUDA graph cache
+    # (reference: src/engine/model_runner.rs:46-63).
+    decode_batch_buckets: tuple = (8, 16, 32, 64, 128, 256, 512)
+    # Shape buckets for the jitted prefill step (flat token counts).
+    prefill_token_buckets: tuple = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+    enable_prefix_caching: bool = True
+
+    def __post_init__(self):
+        if isinstance(self.decode_batch_buckets, list):
+            self.decode_batch_buckets = tuple(self.decode_batch_buckets)
+        if isinstance(self.prefill_token_buckets, list):
+            self.prefill_token_buckets = tuple(self.prefill_token_buckets)
+
+    # ------------------------------------------------------------------
+    # Validation (reference: src/config.rs:83-119)
+    # ------------------------------------------------------------------
+    def validate(self) -> None:
+        if not self.model_path:
+            raise ValueError("model_path must be set")
+        if not os.path.isdir(self.model_path):
+            raise ValueError(f"model_path does not exist or is not a directory: {self.model_path}")
+        if self.kvcache_block_size <= 0 or self.kvcache_block_size % 16 != 0:
+            raise ValueError(
+                f"kvcache_block_size must be a positive multiple of 16, got {self.kvcache_block_size}"
+            )
+        if not (1 <= self.tensor_parallel_size <= 256):
+            raise ValueError(
+                f"tensor_parallel_size must be in 1..=256, got {self.tensor_parallel_size}"
+            )
+        if self.data_parallel_size < 1:
+            raise ValueError(f"data_parallel_size must be >= 1, got {self.data_parallel_size}")
+        if not (0.0 < self.memory_utilization <= 1.0):
+            raise ValueError(
+                f"memory_utilization must be in (0, 1], got {self.memory_utilization}"
+            )
+        if self.device not in _VALID_DEVICES:
+            raise ValueError(f"device must be one of {_VALID_DEVICES}, got {self.device!r}")
+        if self.dtype not in _VALID_DTYPES:
+            raise ValueError(f"dtype must be one of {_VALID_DTYPES}, got {self.dtype!r}")
+        if self.quantization not in _VALID_QUANT:
+            raise ValueError(f"quantization must be one of {_VALID_QUANT}, got {self.quantization!r}")
+        if self.kv_cache_dtype not in _VALID_KV_DTYPES:
+            raise ValueError(
+                f"kv_cache_dtype must be one of {_VALID_KV_DTYPES}, got {self.kv_cache_dtype!r}"
+            )
+        if self.max_num_seqs <= 0:
+            raise ValueError("max_num_seqs must be positive")
+        if self.max_model_len <= 0:
+            raise ValueError("max_model_len must be positive")
+        if self.max_num_batched_tokens < self.kvcache_block_size:
+            raise ValueError("max_num_batched_tokens must be >= kvcache_block_size")
+        if self.num_kvcache_blocks is not None and self.num_kvcache_blocks <= 0:
+            raise ValueError("num_kvcache_blocks must be positive when set")
+
+    # ------------------------------------------------------------------
+    # JSON load/save (reference: src/config.rs:122-144)
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            data = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in data.items() if k in known})
+
+    # ------------------------------------------------------------------
+    # Builder-style `with_*` methods (reference: src/config.rs:147-185 and
+    # the README-advertised extras, README.md:198)
+    # ------------------------------------------------------------------
+    def _with(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def with_model_path(self, p: str) -> "Config":
+        return self._with(model_path=p)
+
+    def with_max_num_batched_tokens(self, n: int) -> "Config":
+        return self._with(max_num_batched_tokens=n)
+
+    def with_max_num_seqs(self, n: int) -> "Config":
+        return self._with(max_num_seqs=n)
+
+    def with_max_model_len(self, n: int) -> "Config":
+        return self._with(max_model_len=n)
+
+    def with_memory_utilization(self, f: float) -> "Config":
+        return self._with(memory_utilization=f)
+
+    def with_tensor_parallel_size(self, n: int) -> "Config":
+        return self._with(tensor_parallel_size=n)
+
+    def with_enforce_eager(self, b: bool = True) -> "Config":
+        return self._with(enforce_eager=b)
+
+    def with_kvcache_block_size(self, n: int) -> "Config":
+        return self._with(kvcache_block_size=n)
+
+    def with_num_kvcache_blocks(self, n: int) -> "Config":
+        return self._with(num_kvcache_blocks=n)
+
+    def with_device(self, d: str) -> "Config":
+        return self._with(device=d)
+
+    def with_dtype(self, d: str) -> "Config":
+        return self._with(dtype=d)
+
+    def with_quantization(self, q: Optional[str]) -> "Config":
+        return self._with(quantization=q)
+
+    def with_kv_cache_dtype(self, d: str) -> "Config":
+        return self._with(kv_cache_dtype=d)
+
+    def with_enable_prefix_caching(self, b: bool = True) -> "Config":
+        return self._with(enable_prefix_caching=b)

@@ -1,0 +1,273 @@
+"""Paged KV-cache block manager with hash-chained prefix caching.
+
+Capability parity with the reference BlockManager
+(src/engine/block_manager.rs:12-361): refcounted blocks, xxh64 chained
+content hashing (a block's hash encodes its entire prefix), prefix-cache
+reuse with a content-verification collision guard, the decode append
+protocol, and utilization/efficiency stats.
+
+This is pure host-side control plane: it never touches device memory. The
+block ids it hands out index into the per-layer HBM KV-cache arrays
+`[num_blocks, block_size, kv_heads, head_dim]` consumed by the paged
+attention kernels (see ops/).
+
+Improvements over the reference:
+- Free blocks keep their hash registration, so a freed-but-unrecycled block
+  can be re-activated on a later prefix hit (the reference hints at this,
+  block_manager.rs:189-197); the mapping is only dropped when the block is
+  recycled for new content. Free-list order is FIFO, so recycling is
+  oldest-freed-first (an LRU over cached-but-free blocks).
+- If a prompt is entirely prefix-cached, the final token is forced to
+  recompute so prefill always has >= 1 query token to produce logits from.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import xxhash
+
+from nanovllm_tpu.engine.sequence import Sequence
+
+
+def compute_hash(token_ids: List[int], prefix_hash: int = 0) -> int:
+    """Chained content hash: xxh64 over prefix_hash (8 LE bytes) ++ tokens
+    (8 LE bytes each), so identity encodes the whole prefix
+    (reference: block_manager.rs:109-123)."""
+    h = xxhash.xxh64()
+    h.update(prefix_hash.to_bytes(8, "little", signed=False))
+    for t in token_ids:
+        h.update(int(t).to_bytes(8, "little", signed=True))
+    return h.intdigest()
+
+
+class Block:
+    """One KV-cache block (reference: block_manager.rs:12-65)."""
+
+    __slots__ = ("block_id", "ref_count", "hash", "token_ids")
+
+    def __init__(self, block_id: int):
+        self.block_id = block_id
+        self.ref_count = 0
+        self.hash: Optional[int] = None
+        self.token_ids: List[int] = []
+
+    def reset(self) -> None:
+        self.ref_count = 0
+        self.hash = None
+        self.token_ids = []
+
+
+@dataclass
+class BlockManagerStats:
+    """Reference: block_manager.rs:307-361."""
+
+    total_blocks: int
+    free_blocks: int
+    used_blocks: int
+    cached_blocks: int
+    cache_hits: int
+    cache_queries: int
+
+    @property
+    def utilization(self) -> float:
+        return self.used_blocks / self.total_blocks if self.total_blocks else 0.0
+
+    @property
+    def cache_efficiency(self) -> float:
+        return self.cache_hits / self.cache_queries if self.cache_queries else 0.0
+
+
+class BlockManager:
+    def __init__(self, num_blocks: int, block_size: int, enable_prefix_caching: bool = True):
+        if num_blocks <= 0:
+            raise ValueError("num_blocks must be positive")
+        self.num_blocks = num_blocks
+        self.block_size = block_size
+        self.enable_prefix_caching = enable_prefix_caching
+        self.blocks: List[Block] = [Block(i) for i in range(num_blocks)]
+        # hash -> block_id for full, hashed blocks (incl. free-but-cached).
+        self.hash_to_block_id: Dict[int, int] = {}
+        # Free list as an OrderedDict for O(1) removal + FIFO recycling.
+        self.free_block_ids: "OrderedDict[int, None]" = OrderedDict(
+            (i, None) for i in range(num_blocks)
+        )
+        self.used_block_ids: set = set()
+        self.cache_hits = 0
+        self.cache_queries = 0
+
+    # ------------------------------------------------------------------
+    # Internals
+    # ------------------------------------------------------------------
+    def num_free_blocks(self) -> int:
+        return len(self.free_block_ids)
+
+    def _recycle_block(self) -> Block:
+        """Pop the oldest free block and wipe its cached identity."""
+        block_id, _ = self.free_block_ids.popitem(last=False)
+        block = self.blocks[block_id]
+        if block.hash is not None and self.hash_to_block_id.get(block.hash) == block_id:
+            del self.hash_to_block_id[block.hash]
+        block.reset()
+        block.ref_count = 1
+        self.used_block_ids.add(block_id)
+        return block
+
+    def _reactivate_block(self, block_id: int) -> Block:
+        """Bring a free-but-cached block back into use on a prefix hit
+        (reference: block_manager.rs:189-197)."""
+        del self.free_block_ids[block_id]
+        block = self.blocks[block_id]
+        block.ref_count = 1
+        self.used_block_ids.add(block_id)
+        return block
+
+    def _free_block(self, block_id: int) -> None:
+        block = self.blocks[block_id]
+        assert block.ref_count == 0
+        self.used_block_ids.discard(block_id)
+        # Keep hash/token_ids: block stays prefix-cache reusable until recycled.
+        self.free_block_ids[block_id] = None
+
+    # ------------------------------------------------------------------
+    # Prefill allocation (reference: block_manager.rs:152-219)
+    # ------------------------------------------------------------------
+    def can_allocate(self, seq: Sequence) -> bool:
+        """Conservative: assumes no prefix hits."""
+        return self.num_free_blocks() >= seq.num_blocks()
+
+    def allocate(self, seq: Sequence) -> None:
+        """Walk the sequence's blocks; reuse on chained-hash hit (with content
+        verification), fresh-allocate after the first miss. Sets
+        seq.num_cached_tokens and fills seq.block_table."""
+        if seq.block_table:
+            raise RuntimeError(f"sequence {seq.seq_id} already has allocated blocks")
+        prefix_hash = 0
+        cache_miss = False
+        num_blocks = seq.num_blocks()
+        for idx in range(num_blocks):
+            tokens = seq.get_block_tokens(idx)
+            is_full = len(tokens) == self.block_size
+            block_hash: Optional[int] = None
+            if is_full:
+                prefix_hash = compute_hash(tokens, prefix_hash)
+                block_hash = prefix_hash
+
+            hit_block: Optional[Block] = None
+            if (
+                self.enable_prefix_caching
+                and is_full
+                and not cache_miss
+            ):
+                self.cache_queries += 1
+                cand_id = self.hash_to_block_id.get(block_hash)
+                if cand_id is not None and self.blocks[cand_id].token_ids == tokens:
+                    # Collision guard passed (reference: block_manager.rs:185).
+                    self.cache_hits += 1
+                    if cand_id in self.free_block_ids:
+                        hit_block = self._reactivate_block(cand_id)
+                    else:
+                        blk = self.blocks[cand_id]
+                        blk.ref_count += 1
+                        hit_block = blk
+                    seq.num_cached_tokens += self.block_size
+                else:
+                    cache_miss = True
+            elif is_full:
+                cache_miss = True
+
+            if hit_block is not None:
+                seq.block_table.append(hit_block.block_id)
+                continue
+
+            if not self.free_block_ids:
+                # Roll back everything allocated so far.
+                allocated = list(seq.block_table)
+                seq.block_table = []
+                seq.num_cached_tokens = 0
+                for bid in reversed(allocated):
+                    blk = self.blocks[bid]
+                    blk.ref_count -= 1
+                    if blk.ref_count == 0:
+                        self._free_block(bid)
+                raise RuntimeError("out of KV-cache blocks during allocate")
+
+            block = self._recycle_block()
+            block.token_ids = list(tokens)
+            if is_full and self.enable_prefix_caching:
+                block.hash = block_hash
+                self.hash_to_block_id[block_hash] = block.block_id
+            seq.block_table.append(block.block_id)
+
+        # Never allow a fully-cached prompt: force >= 1 query token.
+        if seq.num_cached_tokens >= len(seq):
+            seq.num_cached_tokens = len(seq) - 1
+
+    # ------------------------------------------------------------------
+    # Deallocation (reference: block_manager.rs:240-252)
+    # ------------------------------------------------------------------
+    def deallocate(self, seq: Sequence) -> None:
+        for bid in reversed(seq.block_table):
+            block = self.blocks[bid]
+            block.ref_count -= 1
+            if block.ref_count == 0:
+                self._free_block(bid)
+        seq.block_table = []
+        seq.num_cached_tokens = 0
+
+    # ------------------------------------------------------------------
+    # Decode append protocol (reference: block_manager.rs:255-304)
+    #
+    # At decode-schedule time seq.len() counts all appended tokens; this
+    # step writes KV for position len-1 and samples token index len. A new
+    # block is therefore needed iff len % block_size == 1 (position len-1
+    # starts a fresh block).
+    # ------------------------------------------------------------------
+    def can_append(self, seq: Sequence) -> bool:
+        needs_block = len(seq) % self.block_size == 1
+        return (not needs_block) or self.num_free_blocks() >= 1
+
+    def may_append(self, seq: Sequence) -> None:
+        rem = len(seq) % self.block_size
+        if rem == 1:
+            # Position len-1 opens a new block.
+            block = self._recycle_block()
+            block.token_ids = [seq.last_token]
+            seq.block_table.append(block.block_id)
+        elif rem == 0:
+            # The last block just became full: register its chained hash so
+            # it becomes prefix-cache reusable (reference: 283-304).
+            last_bid = seq.block_table[-1]
+            block = self.blocks[last_bid]
+            num_blocks = seq.num_blocks()
+            tokens = seq.get_block_tokens(num_blocks - 1)
+            block.token_ids = list(tokens)
+            if self.enable_prefix_caching and block.ref_count == 1:
+                if num_blocks >= 2:
+                    prev = self.blocks[seq.block_table[-2]]
+                    prefix_hash = prev.hash if prev.hash is not None else 0
+                else:
+                    prefix_hash = 0
+                block.hash = compute_hash(tokens, prefix_hash)
+                self.hash_to_block_id[block.hash] = block.block_id
+        else:
+            # Mid-block: track the growing content for collision verification.
+            block = self.blocks[seq.block_table[-1]]
+            if block.ref_count == 1 and block.hash is None:
+                block.token_ids.append(seq.last_token)
+
+    # ------------------------------------------------------------------
+    # Stats (reference: block_manager.rs:307-361)
+    # ------------------------------------------------------------------
+    def get_stats(self) -> BlockManagerStats:
+        cached = sum(1 for b in self.blocks if b.hash is not None)
+        return BlockManagerStats(
+            total_blocks=self.num_blocks,
+            free_blocks=self.num_free_blocks(),
+            used_blocks=len(self.used_block_ids),
+            cached_blocks=cached,
+            cache_hits=self.cache_hits,
+            cache_queries=self.cache_queries,
+        )

@@ -1,0 +1,67 @@
+"""Per-request sampling parameters.
+
+Capability parity with the reference engine-level `SamplingParams`
+(reference: src/engine/sampling_params.rs:10-119). Unlike the reference,
+there is a single struct — the reference's second, layer-level struct
+(src/layers/sampler.rs:258-318) is replaced by packed device arrays built in
+`ops/sampling.py`. `repetition_penalty` is actually implemented here (the
+reference declares but never applies it, src/layers/sampler.rs:269-271).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class SamplingParams:
+    temperature: float = 1.0
+    max_tokens: int = 64
+    ignore_eos: bool = False
+    top_p: Optional[float] = None
+    top_k: Optional[int] = None
+    repetition_penalty: Optional[float] = None
+    # TPU extension: explicit per-request seed for reproducible sampling.
+    seed: Optional[int] = None
+
+    # --- builders (reference: sampling_params.rs:43-84) ---
+    def with_temperature(self, t: float) -> "SamplingParams":
+        return replace(self, temperature=t)
+
+    def with_max_tokens(self, n: int) -> "SamplingParams":
+        return replace(self, max_tokens=n)
+
+    def with_ignore_eos(self, b: bool = True) -> "SamplingParams":
+        return replace(self, ignore_eos=b)
+
+    def with_top_p(self, p: float) -> "SamplingParams":
+        return replace(self, top_p=p)
+
+    def with_top_k(self, k: int) -> "SamplingParams":
+        return replace(self, top_k=k)
+
+    def with_repetition_penalty(self, p: float) -> "SamplingParams":
+        return replace(self, repetition_penalty=p)
+
+    def with_seed(self, s: int) -> "SamplingParams":
+        return replace(self, seed=s)
+
+    def is_greedy(self) -> bool:
+        """Greedy iff temperature == 0 (reference: sampling_params.rs:86-88)."""
+        return self.temperature == 0.0
+
+    def validate(self) -> None:
+        """Reference: sampling_params.rs:91-119."""
+        if self.temperature < 0.0:
+            raise ValueError(f"temperature must be >= 0, got {self.temperature}")
+        if self.max_tokens <= 0:
+            raise ValueError(f"max_tokens must be positive, got {self.max_tokens}")
+        if self.top_p is not None and not (0.0 < self.top_p <= 1.0):
+            raise ValueError(f"top_p must be in (0, 1], got {self.top_p}")
+        if self.top_k is not None and self.top_k <= 0:
+            raise ValueError(f"top_k must be positive, got {self.top_k}")
+        if self.repetition_penalty is not None and self.repetition_penalty <= 0.0:
+            raise ValueError(
+                f"repetition_penalty must be positive, got {self.repetition_penalty}"
+            )

@@ -1,0 +1,258 @@
+"""Continuous-batching scheduler: prefill-first admission, decode batching,
+and preemption under KV-memory pressure.
+
+Capability parity with the reference Scheduler
+(src/engine/scheduler.rs:14-364): FIFO waiting/running queues over an owned
+BlockManager, homogeneous batches (all-prefill or all-decode), prefix-cached
+tokens exempt from the prefill token budget, back-of-queue preemption with
+re-prefill recovery, postprocess with stop detection, and rolling stats.
+
+Fixes over the reference (SURVEY.md §2.14.8): `schedule()` can legitimately
+return an empty batch ("nothing to do right now") instead of erroring when
+waiting sequences exist but cannot fit; and a single oversized prompt is
+still admitted alone (capped by max_model_len) rather than livelocking on
+the token budget.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Deque, List, Optional, Tuple
+
+from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.block_manager import BlockManager, BlockManagerStats
+from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
+
+
+@dataclass
+class SchedulerStats:
+    """Reference: scheduler.rs:37-66, 276-364."""
+
+    num_waiting: int = 0
+    num_running: int = 0
+    num_finished: int = 0
+    num_preemptions: int = 0
+    num_prefill_batches: int = 0
+    num_decode_batches: int = 0
+    total_prefill_tokens: int = 0
+    total_decode_tokens: int = 0
+    avg_prefill_batch_size: float = 0.0
+    avg_decode_batch_size: float = 0.0
+    block_manager: Optional[BlockManagerStats] = None
+
+    @property
+    def preemption_rate(self) -> float:
+        total = self.num_prefill_batches + self.num_decode_batches
+        return self.num_preemptions / total if total else 0.0
+
+    @property
+    def completion_rate(self) -> float:
+        total = self.num_finished + self.num_waiting + self.num_running
+        return self.num_finished / total if total else 0.0
+
+    @property
+    def memory_pressure(self) -> float:
+        return self.block_manager.utilization if self.block_manager else 0.0
+
+    def is_under_pressure(self) -> bool:
+        """Reference: scheduler.rs memory_pressure > 0.9."""
+        return self.memory_pressure > 0.9
+
+
+class Scheduler:
+    def __init__(self, config: Config):
+        self.config = config
+        self.waiting: Deque[Sequence] = deque()
+        self.running: Deque[Sequence] = deque()
+        # Sequences rejected as impossible (e.g. prompt > max_model_len);
+        # the engine drains these into error outputs.
+        self.failed: Deque[Sequence] = deque()
+        self.block_manager = BlockManager(
+            num_blocks=config.num_kvcache_blocks or 1000,
+            block_size=config.kvcache_block_size,
+            enable_prefix_caching=config.enable_prefix_caching,
+        )
+        self.max_num_seqs = config.max_num_seqs
+        self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.eos_token_id = config.eos_token_id
+        self.max_model_len = config.max_model_len
+        # Stats accumulators.
+        self.num_finished = 0
+        self.num_preemptions = 0
+        self.num_prefill_batches = 0
+        self.num_decode_batches = 0
+        self.total_prefill_tokens = 0
+        self.total_decode_tokens = 0
+
+    # ------------------------------------------------------------------
+    # Admission (reference: scheduler.rs:93-100)
+    # ------------------------------------------------------------------
+    def add_sequence(self, seq: Sequence) -> None:
+        seq.sampling_params.validate()
+        seq.status = SequenceStatus.WAITING
+        self.waiting.append(seq)
+
+    def is_finished(self) -> bool:
+        return not self.waiting and not self.running
+
+    def has_unfinished(self) -> bool:
+        return not self.is_finished()
+
+    # ------------------------------------------------------------------
+    # Main entry: prefill-first (reference: scheduler.rs:103-116)
+    # ------------------------------------------------------------------
+    def schedule(self) -> Tuple[List[Sequence], bool]:
+        """Returns (batch, is_prefill). Empty batch means nothing can run."""
+        prefill = self._schedule_prefill()
+        if prefill:
+            self.num_prefill_batches += 1
+            self.total_prefill_tokens += sum(
+                len(s) - s.num_cached_tokens for s in prefill
+            )
+            return prefill, True
+        decode = self._schedule_decode()
+        if decode:
+            self.num_decode_batches += 1
+            self.total_decode_tokens += len(decode)
+            return decode, False
+        if self.waiting:
+            # Decode preempted everything (or nothing was running): the freed
+            # blocks may let a waiting/preempted seq re-prefill right now, and
+            # impossible requests get failed here instead of spinning.
+            prefill = self._schedule_prefill()
+            if prefill:
+                self.num_prefill_batches += 1
+                self.total_prefill_tokens += sum(
+                    len(s) - s.num_cached_tokens for s in prefill
+                )
+                return prefill, True
+        return [], False
+
+    # ------------------------------------------------------------------
+    # Prefill admission (reference: scheduler.rs:119-168)
+    # ------------------------------------------------------------------
+    def _schedule_prefill(self) -> List[Sequence]:
+        scheduled: List[Sequence] = []
+        batched_tokens = 0
+        while self.waiting:
+            # scheduled seqs are already appended to self.running below.
+            if len(self.running) >= self.max_num_seqs:
+                break
+            seq = self.waiting[0]
+            if len(seq) > self.max_model_len or seq.num_blocks() > self.block_manager.num_blocks:
+                # Impossible request (prompt too long, or its KV can never fit
+                # in the entire block pool): fail it rather than livelock the
+                # queue on preempt/re-prefill ping-pong.
+                self.waiting.popleft()
+                seq.status = SequenceStatus.ERROR
+                seq.finish_reason = (
+                    "prompt_too_long" if len(seq) > self.max_model_len else "insufficient_kv_blocks"
+                )
+                self.failed.append(seq)
+                self.num_finished += 1
+                continue
+            if not self.block_manager.can_allocate(seq):
+                break
+            self.block_manager.allocate(seq)
+            new_tokens = len(seq) - seq.num_cached_tokens
+            if batched_tokens + new_tokens > self.max_num_batched_tokens and scheduled:
+                # Doesn't fit this batch; undo and stop (it stays first in line).
+                self.block_manager.deallocate(seq)
+                break
+            self.waiting.popleft()
+            batched_tokens += new_tokens
+            seq.status = SequenceStatus.RUNNING
+            self.running.append(seq)
+            scheduled.append(seq)
+        return scheduled
+
+    # ------------------------------------------------------------------
+    # Decode + preemption (reference: scheduler.rs:171-231)
+    # ------------------------------------------------------------------
+    def _schedule_decode(self) -> List[Sequence]:
+        scheduled: List[Sequence] = []
+        pending = self.running
+        self.running = deque()
+        while pending:
+            seq = pending.popleft()
+            preempted_self = False
+            while not self.block_manager.can_append(seq):
+                if pending:
+                    victim = pending.pop()  # youngest first (back of queue)
+                elif scheduled:
+                    victim = scheduled.pop()
+                else:
+                    victim = seq
+                self._preempt(victim)
+                if victim is seq:
+                    preempted_self = True
+                    break
+            if preempted_self:
+                continue
+            self.block_manager.may_append(seq)
+            scheduled.append(seq)
+        self.running = deque(scheduled)
+        return scheduled
+
+    def _preempt(self, seq: Sequence) -> None:
+        """Victim's blocks freed; it re-runs from the front of waiting,
+        recovering KV via re-prefill + prefix cache
+        (reference: scheduler.rs:226-231)."""
+        self.block_manager.deallocate(seq)
+        seq.preempt()
+        self.waiting.appendleft(seq)
+        self.num_preemptions += 1
+
+    # ------------------------------------------------------------------
+    # Postprocess (reference: scheduler.rs:234-274)
+    # ------------------------------------------------------------------
+    def postprocess(self, seqs: List[Sequence], token_ids: List[int]) -> List[Sequence]:
+        """Append sampled tokens, finish stopped sequences (freeing their
+        blocks). Returns the sequences that finished this step."""
+        finished: List[Sequence] = []
+        for seq, token_id in zip(seqs, token_ids):
+            seq.append_token(int(token_id))
+            if seq.should_stop(self.eos_token_id, self.max_model_len):
+                seq.finish()
+                self.block_manager.deallocate(seq)
+                try:
+                    self.running.remove(seq)
+                except ValueError:
+                    pass
+                self.num_finished += 1
+                finished.append(seq)
+        return finished
+
+    # ------------------------------------------------------------------
+    # Shutdown support (reference: scheduler.rs preempt_all via llm_engine.rs:345-357)
+    # ------------------------------------------------------------------
+    def preempt_all(self) -> None:
+        while self.running:
+            self._preempt(self.running.pop())
+
+    # ------------------------------------------------------------------
+    # Stats (reference: scheduler.rs:276-364)
+    # ------------------------------------------------------------------
+    def get_stats(self) -> SchedulerStats:
+        return SchedulerStats(
+            num_waiting=len(self.waiting),
+            num_running=len(self.running),
+            num_finished=self.num_finished,
+            num_preemptions=self.num_preemptions,
+            num_prefill_batches=self.num_prefill_batches,
+            num_decode_batches=self.num_decode_batches,
+            total_prefill_tokens=self.total_prefill_tokens,
+            total_decode_tokens=self.total_decode_tokens,
+            avg_prefill_batch_size=(
+                self.total_prefill_tokens / self.num_prefill_batches
+                if self.num_prefill_batches
+                else 0.0
+            ),
+            avg_decode_batch_size=(
+                self.total_decode_tokens / self.num_decode_batches
+                if self.num_decode_batches
+                else 0.0
+            ),
+            block_manager=self.block_manager.get_stats(),
+        )
