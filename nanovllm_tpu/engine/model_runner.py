@@ -1,0 +1,240 @@
+"""ModelRunner: drives the jitted data plane with bucketed static shapes.
+
+Capability parity with the reference ModelRunner
+(src/engine/model_runner.rs:19-448): owns model params + sampler + paged KV
+caches, builds flat input/position tensors and attention metadata for
+prefill (all new tokens of all seqs, ragged) and decode (last token per
+seq), and executes the model — but the reference's stubbed CUDA-graph cache
+(model_runner.rs:303-361) becomes what it was always meant to be: a cache of
+jit-compiled fixed-shape step functions, keyed by shape bucket. Padding to
+the bucket replaces graph capture; XLA donation keeps the KV cache in-place.
+
+`enforce_eager=True` (reference: model_runner.rs:99) disables bucketing:
+every batch compiles at its exact shape.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from functools import partial
+from typing import List, Optional, Sequence as Seq
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu.models.registry import get_model_family
+from nanovllm_tpu.ops import sampling as sampling_ops
+from nanovllm_tpu.utils.loader import read_hf_config
+from nanovllm_tpu.utils.metadata import build_metadata
+
+logger = logging.getLogger(__name__)
+
+
+def _next_pow2(n: int, lo: int = 1) -> int:
+    return max(lo, 1 << (n - 1).bit_length())
+
+
+def _pick_bucket(n: int, buckets: Seq[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return _next_pow2(n)
+
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}
+
+
+class ModelRunner:
+    def __init__(self, config: Config, rng_seed: int = 0):
+        self.config = config
+        self.dtype = _DTYPES[config.dtype]
+        self.block_size = config.kvcache_block_size
+
+        hf_cfg = read_hf_config(config.model_path)
+        self.family = get_model_family(hf_cfg.get("model_type", "qwen3"))
+        self.model_config = self.family.config_from_hf(hf_cfg)
+        self.model_config.validate(config.tensor_parallel_size)
+        if config.eos_token_id is None:
+            eos = hf_cfg.get("eos_token_id")
+            config.eos_token_id = eos[0] if isinstance(eos, list) else eos
+
+        self.params = self._load_or_init_params(rng_seed)
+        self.num_kvcache_blocks = self._resolve_num_blocks()
+        config.num_kvcache_blocks = self.num_kvcache_blocks
+
+        from nanovllm_tpu.models.qwen3 import create_kv_caches
+
+        kv_dtype = self._kv_dtype()
+        self.k_cache, self.v_cache = create_kv_caches(
+            self.model_config, self.num_kvcache_blocks, self.block_size, kv_dtype
+        )
+
+        # The jit cache: one compiled step per shape bucket — the TPU
+        # analogue of the reference's HashMap<batch_size, CudaGraph>.
+        self._step = jax.jit(
+            partial(self.family.forward, self.model_config), donate_argnums=(1, 2)
+        )
+        self._rng = jax.random.PRNGKey(rng_seed)
+        self.num_compilations = 0
+        self._seen_shapes = set()
+
+    # ------------------------------------------------------------------
+    def _load_or_init_params(self, rng_seed: int):
+        import glob
+        import os
+
+        if glob.glob(os.path.join(self.config.model_path, "*.safetensors")):
+            logger.info("loading weights from %s", self.config.model_path)
+            params = self.family.load_weights(
+                self.model_config, self.config.model_path, self.dtype
+            )
+        else:
+            logger.warning(
+                "no safetensors in %s — using random-init weights", self.config.model_path
+            )
+            params = self.family.init_params(
+                self.model_config, jax.random.PRNGKey(rng_seed), self.dtype
+            )
+        if self.config.quantization:
+            from nanovllm_tpu.ops.quant import quantize_params
+
+            params = quantize_params(params, self.config.quantization)
+        return params
+
+    def _kv_dtype(self):
+        kd = self.config.kv_cache_dtype
+        if kd == "auto":
+            return self.dtype
+        if kd == "int8":
+            return jnp.int8
+        if kd == "fp8":
+            return jnp.float8_e4m3fn
+        return _DTYPES[kd]
+
+    def _resolve_num_blocks(self) -> int:
+        """Auto-size the block pool from device memory when unset
+        (reference capability: gpu_memory_utilization, config.rs:31)."""
+        if self.config.num_kvcache_blocks is not None:
+            return self.config.num_kvcache_blocks
+        mc = self.model_config
+        bytes_per_block = (
+            2  # K and V
+            * mc.num_hidden_layers
+            * self.block_size
+            * mc.num_key_value_heads
+            * mc.head_dim
+            * jnp.dtype(self._kv_dtype()).itemsize
+        )
+        try:
+            stats = jax.devices()[0].memory_stats()
+            free = stats["bytes_limit"] * self.config.memory_utilization - stats["bytes_in_use"]
+            n = int(free // bytes_per_block)
+        except Exception:
+            n = 0
+        if n <= 0:
+            n = 1000  # reference default (scheduler.rs:71-74)
+        # At least enough blocks for one full-length sequence.
+        n = max(n, math.ceil(self.config.max_model_len / self.block_size) + 1)
+        logger.info("KV cache: %d blocks x %d tokens", n, self.block_size)
+        return n
+
+    # ------------------------------------------------------------------
+    # Batch preparation (reference: model_runner.rs:172-300)
+    # ------------------------------------------------------------------
+    def _buckets(self, seqs: List[Sequence], is_prefill: bool):
+        num_seqs = len(seqs)
+        q_lens = [len(s) - s.num_cached_tokens for s in seqs]
+        total_q = sum(q_lens)
+        max_q = max(q_lens)
+        max_blocks = max(len(s.block_table) for s in seqs)
+        if self.config.enforce_eager:
+            return total_q, num_seqs, max_blocks, max_q
+        if is_prefill:
+            T = _pick_bucket(total_q, self.config.prefill_token_buckets)
+            S = _next_pow2(num_seqs)
+            Q = _next_pow2(max_q, lo=16)
+        else:
+            S = _pick_bucket(num_seqs, self.config.decode_batch_buckets)
+            T = S
+            Q = 1
+        MAXBLK = _next_pow2(max_blocks)
+        return T, S, MAXBLK, Q
+
+    def execute_model(self, seqs: List[Sequence], is_prefill: bool) -> jax.Array:
+        """Run one forward step; returns logits [S_bucket, V] (fp32)."""
+        T, S, MAXBLK, Q = self._buckets(seqs, is_prefill)
+        shape_key = (T, S, MAXBLK, Q)
+        if shape_key not in self._seen_shapes:
+            self._seen_shapes.add(shape_key)
+            self.num_compilations += 1
+            logger.info("compiling step for shape T=%d S=%d MAXBLK=%d Q=%d", *shape_key)
+
+        seqs_meta = [
+            {
+                "token_ids": s.token_ids,
+                "num_cached": s.num_cached_tokens if is_prefill else len(s) - 1,
+                "block_table": s.block_table,
+            }
+            for s in seqs
+        ]
+        tokens, meta = build_metadata(seqs_meta, self.block_size, T, S, MAXBLK, Q)
+
+        logits, self.k_cache, self.v_cache = self._step(
+            self.params, self.k_cache, self.v_cache, jnp.asarray(tokens), meta
+        )
+        return logits
+
+    # ------------------------------------------------------------------
+    # Sampling (reference: model_runner.rs:131-156 + sampler.rs:221-254)
+    # ------------------------------------------------------------------
+    def sample_tokens(self, seqs: List[Sequence], logits: jax.Array) -> List[int]:
+        S = logits.shape[0]
+        temps = np.zeros((S,), np.float32)
+        top_k = np.zeros((S,), np.int32)
+        top_p = np.ones((S,), np.float32)
+        rep_pen = np.ones((S,), np.float32)
+        use_top_k = use_top_p = use_penalty = False
+        for i, s in enumerate(seqs):
+            p = s.sampling_params
+            temps[i] = p.temperature
+            if p.top_k:
+                top_k[i] = min(p.top_k, sampling_ops.TOP_K_MAX)
+                use_top_k = True
+            if p.top_p is not None and p.top_p < 1.0:
+                top_p[i] = p.top_p
+                use_top_p = True
+            if p.repetition_penalty is not None and p.repetition_penalty != 1.0:
+                rep_pen[i] = p.repetition_penalty
+                use_penalty = True
+
+        if use_penalty:
+            P = _next_pow2(min(1024, max(len(s) for s in seqs)), lo=16)
+            penalty_tokens = np.full((S, P), -1, np.int32)
+            for i, s in enumerate(seqs):
+                recent = s.token_ids[-P:]
+                penalty_tokens[i, : len(recent)] = recent
+        else:
+            penalty_tokens = np.full((S, 1), -1, np.int32)
+
+        self._rng, key = jax.random.split(self._rng)
+        toks = sampling_ops.sample(
+            logits,
+            key,
+            jnp.asarray(temps),
+            jnp.asarray(top_k),
+            jnp.asarray(top_p),
+            jnp.asarray(rep_pen),
+            jnp.asarray(penalty_tokens),
+            use_top_k=use_top_k,
+            use_top_p=use_top_p,
+            use_penalty=use_penalty,
+        )
+        return np.asarray(toks)[: len(seqs)].tolist()
+
+    def run(self, seqs: List[Sequence], is_prefill: bool) -> List[int]:
+        logits = self.execute_model(seqs, is_prefill)
+        return self.sample_tokens(seqs, logits)

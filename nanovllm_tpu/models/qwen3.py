@@ -1,0 +1,248 @@
+"""Qwen3 as a pure functional JAX model over a params pytree.
+
+Capability parity with the reference Qwen3 implementation
+(src/models/qwen3.rs:26-591): vocab embedding → N pre-norm residual blocks
+(RMSNorm → GQA attention with per-head q/k RMSNorm + RoPE → RMSNorm → SiLU-
+gated MLP) → final RMSNorm → LM head (optionally weight-tied). Numerics match
+HF `transformers` Qwen3 (fp32 norms and softmax, split-half RoPE rotation,
+per-head-dim q/k norm applied before RoPE).
+
+TPU-first design:
+- No module objects: `forward(cfg, params, ...)` is a pure function, jitted
+  by the model runner with donated KV caches.
+- Layer weights are STACKED on a leading [num_layers, ...] axis and the
+  block loop is a `lax.scan`, so compile time is one layer, not N.
+- QKV and gate/up are packed into single matmuls (the reference's
+  QKVParallelLinear / MergedColumnParallelLinear capability,
+  src/layers/linear.rs:275-454) to keep the MXU fed.
+- Attention metadata is an explicit pytree (see utils/metadata.py); prefill
+  and decode are the same code path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nanovllm_tpu.models.registry import ModelFamily, register_model_family
+from nanovllm_tpu.ops.attention import kv_cache_write, paged_attention_ref
+from nanovllm_tpu.utils.metadata import AttentionMetadata
+
+
+@dataclass(frozen=True)
+class Qwen3Config:
+    """Parsed from HF config.json (the reference hardcodes defaults instead,
+    src/models/qwen3.rs:26-98 — real capability is parsing the model dir)."""
+
+    vocab_size: int = 151936
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: int = 128
+    max_position_embeddings: int = 32768
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+
+    @classmethod
+    def from_hf(cls, d: dict) -> "Qwen3Config":
+        heads = d["num_attention_heads"]
+        return cls(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_hidden_layers=d["num_hidden_layers"],
+            num_attention_heads=heads,
+            num_key_value_heads=d.get("num_key_value_heads", heads),
+            head_dim=d.get("head_dim") or d["hidden_size"] // heads,
+            max_position_embeddings=d.get("max_position_embeddings", 32768),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-6),
+            rope_theta=d.get("rope_theta", 10000.0),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+        )
+
+    def validate(self, tensor_parallel_size: int = 1) -> None:
+        """Divisibility vs TP (reference: qwen3.rs:106-124)."""
+        if self.num_attention_heads % tensor_parallel_size != 0:
+            raise ValueError(
+                f"num_attention_heads {self.num_attention_heads} not divisible "
+                f"by tensor_parallel_size {tensor_parallel_size}"
+            )
+        if self.num_key_value_heads % tensor_parallel_size != 0:
+            raise ValueError(
+                f"num_key_value_heads {self.num_key_value_heads} not divisible "
+                f"by tensor_parallel_size {tensor_parallel_size}"
+            )
+        if self.num_attention_heads % self.num_key_value_heads != 0:
+            raise ValueError("num_attention_heads must be a multiple of num_key_value_heads")
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: Qwen3Config, rng: jax.Array, dtype=jnp.bfloat16) -> dict:
+    """Random-init params pytree (for tests and synthetic benchmarks).
+
+    Layout (weights are [in, out] so forward is x @ W):
+      embedding: [V, D]
+      layers (stacked on leading L axis):
+        input_ln [L, D], qkv [L, D, (Hq+2*Hkv)*Dh], q_norm [L, Dh],
+        k_norm [L, Dh], o [L, Hq*Dh, D], post_ln [L, D],
+        gate_up [L, D, 2*I], down [L, I, D]
+      final_ln: [D]; lm_head: [V, D] (absent if tied)
+    """
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    L, V = cfg.num_hidden_layers, cfg.vocab_size
+    ks = jax.random.split(rng, 6)
+
+    def w(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32) / jnp.sqrt(fan_in)).astype(dtype)
+
+    params = {
+        "embedding": w(ks[0], (V, D), D),
+        "layers": {
+            "input_ln": jnp.ones((L, D), dtype),
+            "qkv": w(ks[1], (L, D, (Hq + 2 * Hkv) * Dh), D),
+            "q_norm": jnp.ones((L, Dh), dtype),
+            "k_norm": jnp.ones((L, Dh), dtype),
+            "o": w(ks[2], (L, Hq * Dh, D), Hq * Dh),
+            "post_ln": jnp.ones((L, D), dtype),
+            "gate_up": w(ks[3], (L, D, 2 * I), D),
+            "down": w(ks[4], (L, I, D), I),
+        },
+        "final_ln": jnp.ones((D,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = w(ks[5], (V, D), D)
+    return params
+
+
+def create_kv_caches(
+    cfg: Qwen3Config, num_blocks: int, block_size: int, dtype=jnp.bfloat16,
+    kv_heads: Optional[int] = None,
+) -> tuple:
+    """Per-layer paged caches, stacked: [L, num_blocks, block_size, Hkv, Dh]
+    (reference: model_runner.rs:364-396)."""
+    Hkv = kv_heads or cfg.num_key_value_heads
+    shape = (cfg.num_hidden_layers, num_blocks, block_size, Hkv, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Building blocks (fp32 numerics matching HF)
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """fp32 compute, cast back (reference: src/layers/layernorm.rs:58-75)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (weight.astype(jnp.float32) * normed).astype(x.dtype)
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Split-half rotation (reference: src/layers/rotary_embedding.rs:23-48,
+    matching HF rotate_half). x: [T, H, Dh], positions: [T]."""
+    Dh = x.shape[-1]
+    half = Dh // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) * 2.0 / Dh))
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, half]
+    cos = jnp.cos(angles)[:, None, :]  # [T, 1, half]
+    sin = jnp.sin(angles)[:, None, :]
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., :half], xf[..., half:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def forward(
+    cfg: Qwen3Config,
+    params: dict,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    token_ids: jax.Array,
+    meta: AttentionMetadata,
+) -> tuple:
+    """One model step over a flat token batch (prefill and decode unified).
+
+    token_ids: [T] int32; returns (logits [S, V] fp32 at each sequence's last
+    query token, k_cache, v_cache). Call stack mirrors reference
+    qwen3.rs:487-505 / SURVEY §3.4, with collectives inserted by the mesh
+    shardings when TP > 1.
+    """
+    Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    scale = Dh ** -0.5
+
+    h = params["embedding"][token_ids]  # [T, D]
+
+    def layer_step(carry, xs):
+        h = carry
+        lp, kc_l, vc_l = xs
+
+        # Attention block (reference: qwen3.rs:208-240)
+        x = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
+        qkv = x @ lp["qkv"]  # [T, (Hq+2Hkv)*Dh]
+        q, k, v = jnp.split(qkv, [Hq * Dh, (Hq + Hkv) * Dh], axis=-1)
+        T = q.shape[0]
+        q = q.reshape(T, Hq, Dh)
+        k = k.reshape(T, Hkv, Dh)
+        v = v.reshape(T, Hkv, Dh)
+        # Per-head-dim q/k norm BEFORE RoPE (HF Qwen3Attention).
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, meta.positions, cfg.rope_theta)
+        k = apply_rope(k, meta.positions, cfg.rope_theta)
+
+        kc_l = kv_cache_write(kc_l, k, meta.slot_mapping)
+        vc_l = kv_cache_write(vc_l, v, meta.slot_mapping)
+        attn = paged_attention_ref(q, kc_l, vc_l, meta, scale)
+        h = h + attn.reshape(T, Hq * Dh) @ lp["o"]
+
+        # MLP block (reference: qwen3.rs:305-314)
+        x = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+        gate_up = x @ lp["gate_up"]
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        h = h + (jax.nn.silu(gate) * up) @ lp["down"]
+        return h, (kc_l, vc_l)
+
+    h, (k_cache, v_cache) = jax.lax.scan(
+        layer_step, h, (params["layers"], k_cache, v_cache)
+    )
+
+    h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
+
+    # Logits only at each sequence's last query token
+    # (reference: embed_head.rs:272-306).
+    last = h[meta.logits_idx]  # [S, D]
+    lm_w = params["embedding"] if cfg.tie_word_embeddings else params["lm_head"]
+    logits = last.astype(jnp.float32) @ lm_w.astype(jnp.float32).T  # [S, V]
+    return logits, k_cache, v_cache
+
+
+def load_weights(cfg: Qwen3Config, model_dir: str, dtype=jnp.bfloat16) -> dict:
+    from nanovllm_tpu.utils.loader import load_qwen3_weights
+
+    return load_qwen3_weights(cfg, model_dir, dtype)
+
+
+register_model_family(
+    "qwen3",
+    ModelFamily(
+        name="qwen3",
+        config_from_hf=Qwen3Config.from_hf,
+        init_params=init_params,
+        forward=forward,
+        load_weights=load_weights,
+    ),
+)

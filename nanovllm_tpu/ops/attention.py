@@ -1,0 +1,91 @@
+"""Paged attention over the block-structured KV cache — jnp reference path.
+
+Capability parity with the reference attention layer
+(src/layers/attention.rs:65-339): KV scatter-writes into the paged cache,
+prefill (with or without a cached prefix) and paged decode — but as ONE
+unified batched op instead of three per-sequence Rust loops. The reference's
+per-sequence naive loops (attention.rs:162-171, 193-206, 278-287) are the
+"must become a kernel" hot spots; this module is the numerics oracle, the
+Pallas kernels in `ragged_paged_attention.py` are the fast path.
+
+Layout: KV cache per layer is `[num_blocks, block_size, kv_heads, head_dim]`
+(reference: model_runner.rs:364-396). Queries arrive flat `[T, heads, dim]`
+(mixed prefill/decode tokens); attention gathers each sequence's KV through
+its block table and applies the causal mask in absolute positions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nanovllm_tpu.utils.metadata import AttentionMetadata
+
+_NEG_INF = -1e30
+
+
+def kv_cache_write(cache: jax.Array, values: jax.Array, slot_mapping: jax.Array) -> jax.Array:
+    """Scatter per-token K or V vectors into the paged cache.
+
+    cache: [num_blocks, block_size, kv_heads, head_dim]
+    values: [T, kv_heads, head_dim]; slot_mapping: [T] (-1 entries dropped).
+    Reference capability: attention.rs:150-174 (store_kv_cache).
+    """
+    num_blocks, block_size, kv_heads, head_dim = cache.shape
+    flat = cache.reshape(num_blocks * block_size, kv_heads, head_dim)
+    flat = flat.at[slot_mapping].set(values.astype(cache.dtype), mode="drop")
+    return flat.reshape(cache.shape)
+
+
+def paged_attention_ref(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    meta: AttentionMetadata,
+    scale: float,
+) -> jax.Array:
+    """Unified paged attention (prefill + decode) via block-table gather.
+
+    q: [T, num_heads, head_dim] (RoPE already applied)
+    k_cache/v_cache: [num_blocks, block_size, kv_heads, head_dim] — must
+      already contain this step's K/V (scatter first, then attend).
+    Returns [T, num_heads, head_dim].
+    """
+    T, num_heads, head_dim = q.shape
+    num_blocks, block_size, kv_heads, _ = k_cache.shape
+    S, max_blocks = meta.block_tables.shape
+    Q = meta.q_gather.shape[1]
+    L = max_blocks * block_size
+    groups = num_heads // kv_heads
+
+    # Gather per-sequence K/V: [S, L, kv_heads, head_dim]. Padded block-table
+    # entries (-1) clip to block 0; their positions are masked below.
+    tables = jnp.clip(meta.block_tables, 0, num_blocks - 1)
+    k = k_cache[tables].reshape(S, L, kv_heads, head_dim)
+    v = v_cache[tables].reshape(S, L, kv_heads, head_dim)
+
+    # Gather queries into the padded [S, Q] grid.
+    qg = q[jnp.clip(meta.q_gather, 0, T - 1)]  # [S, Q, num_heads, head_dim]
+    qg = qg.reshape(S, Q, kv_heads, groups, head_dim)
+
+    # Scores in fp32: [S, kv_heads, groups, Q, L]
+    scores = jnp.einsum(
+        "sqhgd,slhd->shgql", qg.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+
+    # Causal + validity mask in absolute positions: key j (its slot index in
+    # the gathered layout IS its absolute position) visible iff j <= q_pos.
+    # Padded query slots have q_pos = -1 → nothing visible; padded/garbage
+    # key slots have j >= context_len > q_pos → masked.
+    kv_pos = jnp.arange(L, dtype=jnp.int32)
+    mask = meta.q_positions[:, None, None, :, None] >= kv_pos[None, None, None, None, :]
+    mask = mask & (kv_pos[None, None, None, None, :] < meta.context_lens[:, None, None, None, None])
+    scores = jnp.where(mask, scores, _NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("shgql,slhd->sqhgd", probs, v.astype(jnp.float32))
+    out = out.reshape(S, Q, num_heads, head_dim)
+
+    # Back to the flat token layout.
+    flat = out[meta.token_seq, meta.token_qcol]  # [T, num_heads, head_dim]
+    return flat.astype(q.dtype)
