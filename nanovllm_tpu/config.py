@@ -66,6 +66,10 @@ class Config:
     # Shape buckets for the jitted prefill step (flat token counts).
     prefill_token_buckets: tuple = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
     enable_prefix_caching: bool = True
+    # Decode iterations per device dispatch: sampled tokens feed the next
+    # substep on device (lax.scan), so the host syncs once per window instead
+    # of once per token. 1 = reference-style single-step decode.
+    decode_window: int = 8
 
     def __post_init__(self):
         if isinstance(self.decode_batch_buckets, list):
@@ -113,6 +117,8 @@ class Config:
             raise ValueError("max_num_batched_tokens must be >= kvcache_block_size")
         if self.num_kvcache_blocks is not None and self.num_kvcache_blocks <= 0:
             raise ValueError("num_kvcache_blocks must be positive when set")
+        if self.decode_window < 1:
+            raise ValueError(f"decode_window must be >= 1, got {self.decode_window}")
 
     # ------------------------------------------------------------------
     # JSON load/save (reference: src/config.rs:122-144)

@@ -218,45 +218,65 @@ class BlockManager:
         seq.num_cached_tokens = 0
 
     # ------------------------------------------------------------------
-    # Decode append protocol (reference: block_manager.rs:255-304)
-    #
-    # At decode-schedule time seq.len() counts all appended tokens; this
-    # step writes KV for position len-1 and samples token index len. A new
-    # block is therefore needed iff len % block_size == 1 (position len-1
-    # starts a fresh block).
+    # Decode append protocol (reference: block_manager.rs:255-304),
+    # generalized to a K-token decode WINDOW: the next `window` decode
+    # substeps write KV at positions len-1 .. len+window-2, so every block
+    # covering those positions must be reserved before dispatch (the device
+    # loop cannot allocate mid-window). window=1 reproduces the reference's
+    # single-step protocol exactly.
     # ------------------------------------------------------------------
-    def can_append(self, seq: Sequence) -> bool:
-        needs_block = len(seq) % self.block_size == 1
-        return (not needs_block) or self.num_free_blocks() >= 1
+    def blocks_needed(self, seq: Sequence, window: int = 1) -> int:
+        """New blocks required to cover positions through len+window-2."""
+        highest_pos = len(seq) + window - 2
+        total = highest_pos // self.block_size + 1
+        return max(0, total - len(seq.block_table))
 
-    def may_append(self, seq: Sequence) -> None:
-        rem = len(seq) % self.block_size
-        if rem == 1:
-            # Position len-1 opens a new block.
+    def can_append(self, seq: Sequence, window: int = 1) -> bool:
+        return self.num_free_blocks() >= self.blocks_needed(seq, window)
+
+    def may_append(self, seq: Sequence, window: int = 1) -> None:
+        """Reserve blocks for the window and sync hash state with the
+        sequence's current tokens."""
+        for _ in range(self.blocks_needed(seq, window)):
             block = self._recycle_block()
-            block.token_ids = [seq.last_token]
+            block.token_ids = []
             seq.block_table.append(block.block_id)
-        elif rem == 0:
-            # The last block just became full: register its chained hash so
-            # it becomes prefix-cache reusable (reference: 283-304).
-            last_bid = seq.block_table[-1]
-            block = self.blocks[last_bid]
-            num_blocks = seq.num_blocks()
-            tokens = seq.get_block_tokens(num_blocks - 1)
+        self.register_decode_progress(seq)
+
+    def register_decode_progress(self, seq: Sequence) -> None:
+        """Bring block contents/hashes in sync with seq.token_ids: full
+        blocks get their chained hash registered (becoming prefix-cache
+        reusable, reference: block_manager.rs:283-304), the trailing partial
+        block tracks its tokens for collision verification. Shared blocks
+        (ref_count > 1) were hashed when first filled and are skipped."""
+        # The final appended token of a window is only the NEXT window's
+        # input — its KV isn't written and its block may not be reserved yet,
+        # so sync no further than the current table.
+        nb = min(seq.num_blocks(), len(seq.block_table))
+        if nb == 0:
+            return
+        # Only the tail can have changed since the last sync; scan back to
+        # the last block that already has a hash (or is shared).
+        start = nb - 1
+        while start > 0:
+            blk = self.blocks[seq.block_table[start - 1]]
+            if blk.hash is not None or blk.ref_count > 1:
+                break
+            start -= 1
+        for idx in range(start, nb):
+            block = self.blocks[seq.block_table[idx]]
+            if block.ref_count != 1 or block.hash is not None:
+                continue
+            tokens = seq.get_block_tokens(idx)
             block.token_ids = list(tokens)
-            if self.enable_prefix_caching and block.ref_count == 1:
-                if num_blocks >= 2:
-                    prev = self.blocks[seq.block_table[-2]]
+            if len(tokens) == self.block_size and self.enable_prefix_caching:
+                if idx > 0:
+                    prev = self.blocks[seq.block_table[idx - 1]]
                     prefix_hash = prev.hash if prev.hash is not None else 0
                 else:
                     prefix_hash = 0
                 block.hash = compute_hash(tokens, prefix_hash)
                 self.hash_to_block_id[block.hash] = block.block_id
-        else:
-            # Mid-block: track the growing content for collision verification.
-            block = self.blocks[seq.block_table[-1]]
-            if block.ref_count == 1 and block.hash is None:
-                block.token_ids.append(seq.last_token)
 
     # ------------------------------------------------------------------
     # Stats (reference: block_manager.rs:307-361)

@@ -117,7 +117,7 @@ class LLMEngine:
         """schedule → execute → sample → postprocess. Returns outputs for
         sequences that finished (or failed) this step."""
         outputs: List[SequenceOutput] = []
-        seqs, is_prefill = self.scheduler.schedule()
+        seqs, is_prefill = self.scheduler.schedule(self.config.decode_window)
         # Requests rejected during scheduling (prompt too long / can never
         # fit) surface as error outputs, not exceptions.
         while self.scheduler.failed:
@@ -125,8 +125,8 @@ class LLMEngine:
             outputs.append(failed.create_output(self._detokenize(failed)))
         if not seqs:
             return outputs
-        token_ids = self.model_runner.run(seqs, is_prefill)
-        finished = self.scheduler.postprocess(seqs, token_ids)
+        token_windows = self.model_runner.run(seqs, is_prefill)
+        finished = self.scheduler.postprocess_window(seqs, token_windows)
         for seq in finished:
             outputs.append(seq.create_output(self._detokenize(seq)))
         return outputs
@@ -172,10 +172,15 @@ class LLMEngine:
         try:
             while seq.status not in (SequenceStatus.FINISHED, SequenceStatus.ERROR):
                 self.step()
-                if seq.num_completion_tokens > emitted:
-                    emitted = seq.num_completion_tokens
-                    done = seq.status in (SequenceStatus.FINISHED, SequenceStatus.ERROR)
-                    full = self._detokenize(seq)
+                # A decode window appends several tokens at once; emit one
+                # incremental output per new token.
+                while emitted < seq.num_completion_tokens:
+                    emitted += 1
+                    done = (
+                        emitted == seq.num_completion_tokens
+                        and seq.status in (SequenceStatus.FINISHED, SequenceStatus.ERROR)
+                    )
+                    full = self.tokenizer.decode(seq.completion_token_ids[:emitted])
                     # Detokenization holdback: a trailing replacement char
                     # usually means an incomplete UTF-8 / merge sequence that
                     # the next token will rewrite — don't emit it until done.
@@ -185,7 +190,11 @@ class LLMEngine:
                     prev = self._stream_text.get(seq.seq_id, "")
                     delta = stable[len(prev):] if stable.startswith(prev) else stable
                     self._stream_text[seq.seq_id] = stable
-                    yield seq.create_output(delta)
+                    out = seq.create_output(delta)
+                    out.token_ids = out.token_ids[: seq.num_prompt_tokens + emitted]
+                    out.completion_token_ids = out.completion_token_ids[:emitted]
+                    out.num_completion_tokens = emitted
+                    yield out
                 await asyncio.sleep(0)
         except GeneratorExit:
             self._abort(seq)

@@ -73,11 +73,10 @@ class ModelRunner:
             self.model_config, self.num_kvcache_blocks, self.block_size, kv_dtype
         )
 
-        # The jit cache: one compiled step per shape bucket — the TPU
-        # analogue of the reference's HashMap<batch_size, CudaGraph>.
-        self._step = jax.jit(
-            partial(self.family.forward, self.model_config), donate_argnums=(1, 2)
-        )
+        # Jit caches: one compiled executable per (flags, shape bucket) — the
+        # TPU analogue of the reference's HashMap<batch_size, CudaGraph>.
+        self._prefill_fns = {}
+        self._decode_fns = {}
         self._rng = jax.random.PRNGKey(rng_seed)
         self.num_compilations = 0
         self._seen_shapes = set()
@@ -145,54 +144,23 @@ class ModelRunner:
     # ------------------------------------------------------------------
     # Batch preparation (reference: model_runner.rs:172-300)
     # ------------------------------------------------------------------
-    def _buckets(self, seqs: List[Sequence], is_prefill: bool):
+    def _prefill_buckets(self, seqs: List[Sequence]):
         num_seqs = len(seqs)
         q_lens = [len(s) - s.num_cached_tokens for s in seqs]
-        total_q = sum(q_lens)
-        max_q = max(q_lens)
         max_blocks = max(len(s.block_table) for s in seqs)
         if self.config.enforce_eager:
-            return total_q, num_seqs, max_blocks, max_q
-        if is_prefill:
-            T = _pick_bucket(total_q, self.config.prefill_token_buckets)
-            S = _next_pow2(num_seqs)
-            Q = _next_pow2(max_q, lo=16)
-        else:
-            S = _pick_bucket(num_seqs, self.config.decode_batch_buckets)
-            T = S
-            Q = 1
+            return sum(q_lens), num_seqs, max_blocks, max(q_lens)
+        T = _pick_bucket(sum(q_lens), self.config.prefill_token_buckets)
+        S = _next_pow2(num_seqs)
+        Q = _next_pow2(max(q_lens), lo=16)
         MAXBLK = _next_pow2(max_blocks)
         return T, S, MAXBLK, Q
 
-    def execute_model(self, seqs: List[Sequence], is_prefill: bool) -> jax.Array:
-        """Run one forward step; returns logits [S_bucket, V] (fp32)."""
-        T, S, MAXBLK, Q = self._buckets(seqs, is_prefill)
-        shape_key = (T, S, MAXBLK, Q)
-        if shape_key not in self._seen_shapes:
-            self._seen_shapes.add(shape_key)
-            self.num_compilations += 1
-            logger.info("compiling step for shape T=%d S=%d MAXBLK=%d Q=%d", *shape_key)
-
-        seqs_meta = [
-            {
-                "token_ids": s.token_ids,
-                "num_cached": s.num_cached_tokens if is_prefill else len(s) - 1,
-                "block_table": s.block_table,
-            }
-            for s in seqs
-        ]
-        tokens, meta = build_metadata(seqs_meta, self.block_size, T, S, MAXBLK, Q)
-
-        logits, self.k_cache, self.v_cache = self._step(
-            self.params, self.k_cache, self.v_cache, jnp.asarray(tokens), meta
-        )
-        return logits
-
     # ------------------------------------------------------------------
-    # Sampling (reference: model_runner.rs:131-156 + sampler.rs:221-254)
+    # Per-request sampling state packed into device arrays
+    # (reference: model_runner.rs:131-156 + sampler.rs:221-254)
     # ------------------------------------------------------------------
-    def sample_tokens(self, seqs: List[Sequence], logits: jax.Array) -> List[int]:
-        S = logits.shape[0]
+    def _sampling_arrays(self, seqs: List[Sequence], S: int):
         temps = np.zeros((S,), np.float32)
         top_k = np.zeros((S,), np.int32)
         top_p = np.ones((S,), np.float32)
@@ -212,29 +180,108 @@ class ModelRunner:
                 use_penalty = True
 
         if use_penalty:
-            P = _next_pow2(min(1024, max(len(s) for s in seqs)), lo=16)
-            penalty_tokens = np.full((S, P), -1, np.int32)
+            # Ring buffer of recent tokens; the decode window appends on
+            # device at cursor % P.
+            P = _next_pow2(min(1024, max(len(s) for s in seqs) + self.config.decode_window), lo=16)
+            penalty_buf = np.full((S, P), -1, np.int32)
+            cursor = np.zeros((S,), np.int32)
             for i, s in enumerate(seqs):
                 recent = s.token_ids[-P:]
-                penalty_tokens[i, : len(recent)] = recent
+                penalty_buf[i, : len(recent)] = recent
+                cursor[i] = len(recent) % P
         else:
-            penalty_tokens = np.full((S, 1), -1, np.int32)
+            penalty_buf = np.full((S, 1), -1, np.int32)
+            cursor = np.zeros((S,), np.int32)
 
-        self._rng, key = jax.random.split(self._rng)
-        toks = sampling_ops.sample(
-            logits,
-            key,
+        flags = {"use_top_k": use_top_k, "use_top_p": use_top_p, "use_penalty": use_penalty}
+        samp = (
             jnp.asarray(temps),
             jnp.asarray(top_k),
             jnp.asarray(top_p),
             jnp.asarray(rep_pen),
-            jnp.asarray(penalty_tokens),
-            use_top_k=use_top_k,
-            use_top_p=use_top_p,
-            use_penalty=use_penalty,
+            jnp.asarray(penalty_buf),
         )
-        return np.asarray(toks)[: len(seqs)].tolist()
+        return samp, jnp.asarray(cursor), flags
 
-    def run(self, seqs: List[Sequence], is_prefill: bool) -> List[int]:
-        logits = self.execute_model(seqs, is_prefill)
-        return self.sample_tokens(seqs, logits)
+    def _note_shape(self, key) -> None:
+        if key not in self._seen_shapes:
+            self._seen_shapes.add(key)
+            self.num_compilations += 1
+            logger.info("compiling step for %s", (key,))
+
+    def run(self, seqs: List[Sequence], is_prefill: bool) -> List[List[int]]:
+        """Execute one serving dispatch. Returns, per sequence, the list of
+        newly sampled token ids (length 1 for prefill, decode_window for
+        decode windows)."""
+        self._rng, key = jax.random.split(self._rng)
+        if is_prefill:
+            return self._run_prefill(seqs, key)
+        return self._run_decode_window(seqs, key)
+
+    def _run_prefill(self, seqs: List[Sequence], key) -> List[List[int]]:
+        from nanovllm_tpu.engine.step_fn import build_prefill_step
+
+        T, S, MAXBLK, Q = self._prefill_buckets(seqs)
+        samp, _, flags = self._sampling_arrays(seqs, S)
+        fkey = tuple(sorted(flags.items()))
+        if fkey not in self._prefill_fns:
+            self._prefill_fns[fkey] = build_prefill_step(
+                self.model_config, self.family.forward, flags
+            )
+        self._note_shape(("prefill", fkey, T, S, MAXBLK, Q, samp[4].shape[1]))
+
+        seqs_meta = [
+            {
+                "token_ids": s.token_ids,
+                "num_cached": s.num_cached_tokens,
+                "block_table": s.block_table,
+            }
+            for s in seqs
+        ]
+        tokens, meta = build_metadata(seqs_meta, self.block_size, T, S, MAXBLK, Q)
+        toks, self.k_cache, self.v_cache = self._prefill_fns[fkey](
+            self.params, self.k_cache, self.v_cache, jnp.asarray(tokens), meta, samp, key
+        )
+        out = np.asarray(toks)[: len(seqs)]
+        return [[int(t)] for t in out]
+
+    def _run_decode_window(self, seqs: List[Sequence], key) -> List[List[int]]:
+        from nanovllm_tpu.engine.step_fn import build_decode_window
+
+        K = self.config.decode_window
+        num_seqs = len(seqs)
+        if self.config.enforce_eager:
+            S = num_seqs
+            MAXBLK = max(len(s.block_table) for s in seqs)
+        else:
+            S = _pick_bucket(num_seqs, self.config.decode_batch_buckets)
+            MAXBLK = _next_pow2(max(len(s.block_table) for s in seqs))
+        samp, cursor, flags = self._sampling_arrays(seqs, S)
+        fk = (K, tuple(sorted(flags.items())))
+        if fk not in self._decode_fns:
+            self._decode_fns[fk] = build_decode_window(
+                self.model_config, self.family.forward, self.block_size, K, flags
+            )
+        self._note_shape(("decode", fk, S, MAXBLK, samp[4].shape[1]))
+
+        last_tokens = np.zeros((S,), np.int32)
+        block_tables = np.full((S, MAXBLK), -1, np.int32)
+        context_lens = np.zeros((S,), np.int32)
+        for i, s in enumerate(seqs):
+            last_tokens[i] = s.last_token
+            block_tables[i, : len(s.block_table)] = s.block_table
+            context_lens[i] = len(s)
+
+        toks, self.k_cache, self.v_cache = self._decode_fns[fk](
+            self.params,
+            self.k_cache,
+            self.v_cache,
+            jnp.asarray(last_tokens),
+            jnp.asarray(block_tables),
+            jnp.asarray(context_lens),
+            samp,
+            cursor,
+            key,
+        )
+        out = np.asarray(toks)  # [K, S]
+        return [out[:, i].tolist() for i in range(num_seqs)]

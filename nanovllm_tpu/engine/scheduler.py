@@ -102,8 +102,12 @@ class Scheduler:
     # ------------------------------------------------------------------
     # Main entry: prefill-first (reference: scheduler.rs:103-116)
     # ------------------------------------------------------------------
-    def schedule(self) -> Tuple[List[Sequence], bool]:
-        """Returns (batch, is_prefill). Empty batch means nothing can run."""
+    def schedule(self, decode_window: int = 1) -> Tuple[List[Sequence], bool]:
+        """Returns (batch, is_prefill). Empty batch means nothing can run.
+
+        `decode_window`: number of decode iterations the runner will execute
+        per dispatch; KV blocks for the whole window are reserved up front
+        (see BlockManager window protocol)."""
         prefill = self._schedule_prefill()
         if prefill:
             self.num_prefill_batches += 1
@@ -111,10 +115,10 @@ class Scheduler:
                 len(s) - s.num_cached_tokens for s in prefill
             )
             return prefill, True
-        decode = self._schedule_decode()
+        decode = self._schedule_decode(decode_window)
         if decode:
             self.num_decode_batches += 1
-            self.total_decode_tokens += len(decode)
+            self.total_decode_tokens += len(decode) * decode_window
             return decode, False
         if self.waiting:
             # Decode preempted everything (or nothing was running): the freed
@@ -170,14 +174,14 @@ class Scheduler:
     # ------------------------------------------------------------------
     # Decode + preemption (reference: scheduler.rs:171-231)
     # ------------------------------------------------------------------
-    def _schedule_decode(self) -> List[Sequence]:
+    def _schedule_decode(self, window: int = 1) -> List[Sequence]:
         scheduled: List[Sequence] = []
         pending = self.running
         self.running = deque()
         while pending:
             seq = pending.popleft()
             preempted_self = False
-            while not self.block_manager.can_append(seq):
+            while not self.block_manager.can_append(seq, window):
                 if pending:
                     victim = pending.pop()  # youngest first (back of queue)
                 elif scheduled:
@@ -190,7 +194,7 @@ class Scheduler:
                     break
             if preempted_self:
                 continue
-            self.block_manager.may_append(seq)
+            self.block_manager.may_append(seq, window)
             scheduled.append(seq)
         self.running = deque(scheduled)
         return scheduled
@@ -208,12 +212,25 @@ class Scheduler:
     # Postprocess (reference: scheduler.rs:234-274)
     # ------------------------------------------------------------------
     def postprocess(self, seqs: List[Sequence], token_ids: List[int]) -> List[Sequence]:
-        """Append sampled tokens, finish stopped sequences (freeing their
-        blocks). Returns the sequences that finished this step."""
+        """Append one sampled token per sequence, finish stopped ones
+        (freeing their blocks). Returns the sequences that finished."""
+        return self.postprocess_window(seqs, [[t] for t in token_ids])
+
+    def postprocess_window(
+        self, seqs: List[Sequence], token_windows: List[List[int]]
+    ) -> List[Sequence]:
+        """Append up to K sampled tokens per sequence (one decode window).
+        Tokens generated on-device past a stop condition are discarded; full
+        blocks grown during the window become prefix-cache reusable."""
         finished: List[Sequence] = []
-        for seq, token_id in zip(seqs, token_ids):
-            seq.append_token(int(token_id))
-            if seq.should_stop(self.eos_token_id, self.max_model_len):
+        for seq, window_tokens in zip(seqs, token_windows):
+            stopped = False
+            for token_id in window_tokens:
+                seq.append_token(int(token_id))
+                if seq.should_stop(self.eos_token_id, self.max_model_len):
+                    stopped = True
+                    break
+            if stopped:
                 seq.finish()
                 self.block_manager.deallocate(seq)
                 try:
@@ -222,6 +239,8 @@ class Scheduler:
                     pass
                 self.num_finished += 1
                 finished.append(seq)
+            else:
+                self.block_manager.register_decode_progress(seq)
         return finished
 
     # ------------------------------------------------------------------

@@ -1,0 +1,110 @@
+"""Jitted serving-step builders: fused forward+sample, and the multi-token
+decode window.
+
+Design note (TPU-first, replaces the reference's CUDA-graph ambition,
+src/engine/model_runner.rs:303-361): dispatching one jit per generated token
+pays a host↔device round trip per token, which dominates decode latency —
+especially on remote/tunneled TPU attachment where one synchronized dispatch
+costs tens of ms. Instead, `decode_window` runs K decode iterations inside a
+single jit via `lax.scan`: the sampled token of substep i feeds substep i+1
+ON DEVICE (token feedback never touches the host), slot mappings are derived
+from block tables + context lengths on device, and only the final [K, S]
+token matrix syncs back. The scheduler pre-reserves KV blocks for the whole
+window; the host postprocesses (stop detection, detokenization, hashing) in
+bulk and truncates anything generated past a stop condition.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from nanovllm_tpu.ops.sampling import sample_logits
+from nanovllm_tpu.utils.metadata import AttentionMetadata
+
+
+def build_prefill_step(cfg, forward_fn: Callable, flags: dict) -> Callable:
+    """Fused forward + sample for a prefill batch (one token per sequence).
+
+    Returns fn(params, kc, vc, tokens, meta, samp, key) -> (tokens [S], kc, vc)
+    where samp = (temps, top_k, top_p, rep_pen, penalty_buf).
+    """
+
+    def fn(params, k_cache, v_cache, tokens, meta, samp, key):
+        temps, top_k, top_p, rep_pen, penalty_buf = samp
+        logits, k_cache, v_cache = forward_fn(
+            cfg, params, k_cache, v_cache, tokens, meta
+        )
+        toks = sample_logits(
+            logits, key, temps, top_k, top_p, rep_pen, penalty_buf, **flags
+        )
+        return toks, k_cache, v_cache
+
+    return jax.jit(fn, donate_argnums=(1, 2))
+
+
+def build_decode_window(
+    cfg, forward_fn: Callable, block_size: int, num_steps: int, flags: dict
+) -> Callable:
+    """K self-feeding decode substeps in one jit.
+
+    Returns fn(params, kc, vc, last_tokens [S], block_tables [S, M],
+               context_lens [S], samp, cursor [S], key)
+            -> (tokens [K, S], kc, vc)
+
+    context_lens[i] = len(seq i) at dispatch (so substep 0 writes KV at
+    position len-1 and samples token index len, matching the single-step
+    append protocol). Padded rows have context_lens == 0; their slots are -1
+    (dropped) and their sampled tokens are garbage the host ignores.
+    """
+
+    def fn(params, k_cache, v_cache, last_tokens, block_tables, context_lens, samp, cursor, key):
+        temps, top_k, top_p, rep_pen, penalty_buf = samp
+        S, M = block_tables.shape
+        P = penalty_buf.shape[1]
+        rows = jnp.arange(S, dtype=jnp.int32)
+
+        def substep(carry, k_idx):
+            k_cache, v_cache, toks, ctx, pbuf, cur = carry
+            valid = ctx > 0
+            pos = jnp.maximum(ctx - 1, 0)  # position written this substep
+            blk_idx = jnp.clip(pos // block_size, 0, M - 1)
+            blk = block_tables[rows, blk_idx]
+            slot = jnp.where(valid, blk * block_size + pos % block_size, -1)
+
+            meta = AttentionMetadata(
+                slot_mapping=slot,
+                positions=pos,
+                token_seq=rows,
+                token_qcol=jnp.zeros((S,), jnp.int32),
+                block_tables=block_tables,
+                context_lens=ctx,
+                logits_idx=rows,
+                q_gather=rows[:, None],
+                q_positions=jnp.where(valid, ctx - 1, -1)[:, None],
+            )
+            logits, k_cache, v_cache = forward_fn(
+                cfg, params, k_cache, v_cache, toks, meta
+            )
+            newtok = sample_logits(
+                logits,
+                jax.random.fold_in(key, k_idx),
+                temps, top_k, top_p, rep_pen, pbuf,
+                **flags,
+            )
+            if flags.get("use_penalty"):
+                pbuf = pbuf.at[rows, cur % P].set(newtok)
+                cur = cur + 1
+            ctx = jnp.where(valid, ctx + 1, ctx)
+            return (k_cache, v_cache, newtok, ctx, pbuf, cur), newtok
+
+        init = (k_cache, v_cache, last_tokens, context_lens, penalty_buf, cursor)
+        (k_cache, v_cache, *_), toks_seq = jax.lax.scan(
+            substep, init, jnp.arange(num_steps, dtype=jnp.int32)
+        )
+        return toks_seq, k_cache, v_cache
+
+    return jax.jit(fn, donate_argnums=(1, 2))

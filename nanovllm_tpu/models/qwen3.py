@@ -186,9 +186,11 @@ def forward(
 
     h = params["embedding"][token_ids]  # [T, D]
 
-    def layer_step(carry, xs):
-        h = carry
-        lp, kc_l, vc_l = xs
+    # The stacked KV caches ride in the scan CARRY (not xs/ys): XLA keeps the
+    # per-layer scatter in place on the donated buffers, where xs/ys would
+    # round-trip the full multi-GB cache through fresh copies every step.
+    def layer_step(carry, lp):
+        h, kc, vc, layer_idx = carry
 
         # Attention block (reference: qwen3.rs:208-240)
         x = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
@@ -204,9 +206,9 @@ def forward(
         q = apply_rope(q, meta.positions, cfg.rope_theta)
         k = apply_rope(k, meta.positions, cfg.rope_theta)
 
-        kc_l = kv_cache_write(kc_l, k, meta.slot_mapping)
-        vc_l = kv_cache_write(vc_l, v, meta.slot_mapping)
-        attn = paged_attention_ref(q, kc_l, vc_l, meta, scale)
+        kc = kv_cache_write(kc, k, meta.slot_mapping, layer_idx)
+        vc = kv_cache_write(vc, v, meta.slot_mapping, layer_idx)
+        attn = paged_attention_ref(q, kc, vc, layer_idx, meta, scale)
         h = h + attn.reshape(T, Hq * Dh) @ lp["o"]
 
         # MLP block (reference: qwen3.rs:305-314)
@@ -214,19 +216,22 @@ def forward(
         gate_up = x @ lp["gate_up"]
         gate, up = jnp.split(gate_up, 2, axis=-1)
         h = h + (jax.nn.silu(gate) * up) @ lp["down"]
-        return h, (kc_l, vc_l)
+        return (h, kc, vc, layer_idx + 1), None
 
-    h, (k_cache, v_cache) = jax.lax.scan(
-        layer_step, h, (params["layers"], k_cache, v_cache)
+    (h, k_cache, v_cache, _), _ = jax.lax.scan(
+        layer_step,
+        (h, k_cache, v_cache, jnp.int32(0)),
+        params["layers"],
     )
 
     h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
 
     # Logits only at each sequence's last query token
-    # (reference: embed_head.rs:272-306).
+    # (reference: embed_head.rs:272-306). bf16 matmul with fp32 accumulation
+    # — no fp32 weight copy.
     last = h[meta.logits_idx]  # [S, D]
     lm_w = params["embedding"] if cfg.tie_word_embeddings else params["lm_head"]
-    logits = last.astype(jnp.float32) @ lm_w.astype(jnp.float32).T  # [S, V]
+    logits = jnp.dot(last, lm_w.T, preferred_element_type=jnp.float32)  # [S, V]
     return logits, k_cache, v_cache
 
 

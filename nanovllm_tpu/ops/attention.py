@@ -24,16 +24,24 @@ from nanovllm_tpu.utils.metadata import AttentionMetadata
 _NEG_INF = -1e30
 
 
-def kv_cache_write(cache: jax.Array, values: jax.Array, slot_mapping: jax.Array) -> jax.Array:
-    """Scatter per-token K or V vectors into the paged cache.
+def kv_cache_write(
+    cache: jax.Array, values: jax.Array, slot_mapping: jax.Array, layer_idx
+) -> jax.Array:
+    """Scatter per-token K or V vectors into one layer of the stacked cache.
 
-    cache: [num_blocks, block_size, kv_heads, head_dim]
-    values: [T, kv_heads, head_dim]; slot_mapping: [T] (-1 entries dropped).
+    cache: [num_layers, num_blocks, block_size, kv_heads, head_dim] — the
+      FULL stacked cache (it lives in the layer-scan carry so XLA keeps the
+      scatter in place on the donated buffer instead of round-tripping the
+      whole cache through scan xs/ys copies).
+    values: [T, kv_heads, head_dim]; slot_mapping: [T] (-1 entries dropped);
+    layer_idx: scalar int32.
     Reference capability: attention.rs:150-174 (store_kv_cache).
     """
-    num_blocks, block_size, kv_heads, head_dim = cache.shape
-    flat = cache.reshape(num_blocks * block_size, kv_heads, head_dim)
-    flat = flat.at[slot_mapping].set(values.astype(cache.dtype), mode="drop")
+    num_layers, num_blocks, block_size, kv_heads, head_dim = cache.shape
+    flat = cache.reshape(num_layers * num_blocks * block_size, kv_heads, head_dim)
+    offset = layer_idx * (num_blocks * block_size)
+    slots = jnp.where(slot_mapping >= 0, slot_mapping + offset, -1)
+    flat = flat.at[slots].set(values.astype(cache.dtype), mode="drop")
     return flat.reshape(cache.shape)
 
 
@@ -41,18 +49,21 @@ def paged_attention_ref(
     q: jax.Array,
     k_cache: jax.Array,
     v_cache: jax.Array,
+    layer_idx,
     meta: AttentionMetadata,
     scale: float,
 ) -> jax.Array:
     """Unified paged attention (prefill + decode) via block-table gather.
 
     q: [T, num_heads, head_dim] (RoPE already applied)
-    k_cache/v_cache: [num_blocks, block_size, kv_heads, head_dim] — must
-      already contain this step's K/V (scatter first, then attend).
+    k_cache/v_cache: [num_layers, num_blocks, block_size, kv_heads, head_dim]
+      stacked caches — must already contain this step's K/V (scatter first,
+      then attend); layer_idx selects the layer inside the gather so no full
+      layer slice is materialized.
     Returns [T, num_heads, head_dim].
     """
     T, num_heads, head_dim = q.shape
-    num_blocks, block_size, kv_heads, _ = k_cache.shape
+    _, num_blocks, block_size, kv_heads, _ = k_cache.shape
     S, max_blocks = meta.block_tables.shape
     Q = meta.q_gather.shape[1]
     L = max_blocks * block_size
@@ -61,8 +72,8 @@ def paged_attention_ref(
     # Gather per-sequence K/V: [S, L, kv_heads, head_dim]. Padded block-table
     # entries (-1) clip to block 0; their positions are masked below.
     tables = jnp.clip(meta.block_tables, 0, num_blocks - 1)
-    k = k_cache[tables].reshape(S, L, kv_heads, head_dim)
-    v = v_cache[tables].reshape(S, L, kv_heads, head_dim)
+    k = k_cache[layer_idx, tables].reshape(S, L, kv_heads, head_dim)
+    v = v_cache[layer_idx, tables].reshape(S, L, kv_heads, head_dim)
 
     # Gather queries into the padded [S, Q] grid.
     qg = q[jnp.clip(meta.q_gather, 0, T - 1)]  # [S, Q, num_heads, head_dim]

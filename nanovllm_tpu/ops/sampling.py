@@ -23,8 +23,7 @@ _NEG_INF = -1e30
 TOP_K_MAX = 256
 
 
-@partial(jax.jit, static_argnames=("use_top_k", "use_top_p", "use_penalty"))
-def sample(
+def sample_logits(
     logits: jax.Array,
     key: jax.Array,
     temperatures: jax.Array,
@@ -37,7 +36,7 @@ def sample(
     use_top_p: bool = False,
     use_penalty: bool = False,
 ) -> jax.Array:
-    """Sample one token per row.
+    """Sample one token per row (traceable core — call inside a jitted step).
 
     logits: [S, V]; temperatures/top_k/top_p/rep_penalty: [S]
     penalty_tokens: [S, P] token ids already emitted (-1 padded)
@@ -87,3 +86,8 @@ def sample(
     sampled_tok = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
 
     return jnp.where(temperatures == 0.0, greedy_tok, sampled_tok)
+
+
+sample = jax.jit(
+    sample_logits, static_argnames=("use_top_k", "use_top_p", "use_penalty")
+)

@@ -1,0 +1,85 @@
+"""PartitionSpecs for the Qwen3 params pytree, KV caches, and batch metadata.
+
+Tensor-parallel layout (reference capability map, SURVEY §2.12):
+- qkv / gate_up: output dim sharded over "model"  (ColumnParallelLinear,
+  linear.rs:88-173 / QKVParallelLinear 275-371 / Merged 378-454)
+- o / down: input dim sharded over "model" — XLA inserts the psum the
+  reference left as a TODO (RowParallelLinear, linear.rs:236-238)
+- embedding / lm_head: vocab dim sharded over "model"
+  (VocabParallelEmbedding / ParallelLMHead, embed_head.rs:16-366)
+- KV caches: kv_heads dim sharded over "model" (per-rank KV heads,
+  model_runner.rs:372)
+- Batch arrays: flat-token and sequence dims sharded over "data".
+
+`jax.jit` with these shardings compiles one SPMD program; collectives ride
+ICI. No per-rank weight slicing code is needed — `jax.device_put` with a
+NamedSharding splits the host array across the mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from nanovllm_tpu.parallel.mesh import AXIS_DATA, AXIS_MODEL
+
+
+def param_pspecs(tie_word_embeddings: bool = False) -> dict:
+    """PartitionSpec pytree mirroring models/qwen3.init_params layout."""
+    specs = {
+        # Vocab-sharded embedding: gathers become all-gathers over "model".
+        "embedding": P(AXIS_MODEL, None),
+        "layers": {
+            "input_ln": P(None, None),
+            "qkv": P(None, None, AXIS_MODEL),       # column-parallel (packed)
+            "q_norm": P(None, None),
+            "k_norm": P(None, None),
+            "o": P(None, AXIS_MODEL, None),          # row-parallel (+psum)
+            "post_ln": P(None, None),
+            "gate_up": P(None, None, AXIS_MODEL),    # column-parallel (packed)
+            "down": P(None, AXIS_MODEL, None),       # row-parallel (+psum)
+        },
+        "final_ln": P(None),
+    }
+    if not tie_word_embeddings:
+        specs["lm_head"] = P(AXIS_MODEL, None)
+    return specs
+
+
+def kv_cache_pspec() -> P:
+    """[layers, num_blocks, block_size, kv_heads, head_dim] — KV heads over
+    the model axis; the block pool is replicated within a slice."""
+    return P(None, None, None, AXIS_MODEL, None)
+
+
+def metadata_pspecs() -> dict:
+    """Shardings for (token_ids, AttentionMetadata) batch arrays: token and
+    sequence dims over "data"."""
+    return {
+        "token_ids": P(AXIS_DATA),
+        "meta": {
+            "slot_mapping": P(AXIS_DATA),
+            "positions": P(AXIS_DATA),
+            "token_seq": P(AXIS_DATA),
+            "token_qcol": P(AXIS_DATA),
+            "block_tables": P(AXIS_DATA, None),
+            "context_lens": P(AXIS_DATA),
+            "logits_idx": P(AXIS_DATA),
+            "q_gather": P(AXIS_DATA, None),
+            "q_positions": P(AXIS_DATA, None),
+        },
+    }
+
+
+def shard_params(mesh: Mesh, params: dict, tie_word_embeddings: bool = False) -> dict:
+    specs = param_pspecs(tie_word_embeddings)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_kv_caches(mesh: Mesh, k_cache, v_cache) -> tuple:
+    sh = NamedSharding(mesh, kv_cache_pspec())
+    return jax.device_put(k_cache, sh), jax.device_put(v_cache, sh)
