@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from nanovllm_tpu.models.registry import ModelFamily, register_model_family
 from nanovllm_tpu.ops.attention import kv_cache_write, paged_attention_ref
+from nanovllm_tpu.ops.quant import matmul
 from nanovllm_tpu.utils.metadata import AttentionMetadata
 
 
@@ -194,7 +195,7 @@ def forward(
 
         # Attention block (reference: qwen3.rs:208-240)
         x = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
-        qkv = x @ lp["qkv"]  # [T, (Hq+2Hkv)*Dh]
+        qkv = matmul(x, lp["qkv"])  # [T, (Hq+2Hkv)*Dh]
         q, k, v = jnp.split(qkv, [Hq * Dh, (Hq + Hkv) * Dh], axis=-1)
         T = q.shape[0]
         q = q.reshape(T, Hq, Dh)
@@ -209,13 +210,13 @@ def forward(
         kc = kv_cache_write(kc, k, meta.slot_mapping, layer_idx)
         vc = kv_cache_write(vc, v, meta.slot_mapping, layer_idx)
         attn = paged_attention_ref(q, kc, vc, layer_idx, meta, scale)
-        h = h + attn.reshape(T, Hq * Dh) @ lp["o"]
+        h = h + matmul(attn.reshape(T, Hq * Dh), lp["o"])
 
         # MLP block (reference: qwen3.rs:305-314)
         x = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
-        gate_up = x @ lp["gate_up"]
+        gate_up = matmul(x, lp["gate_up"])
         gate, up = jnp.split(gate_up, 2, axis=-1)
-        h = h + (jax.nn.silu(gate) * up) @ lp["down"]
+        h = h + matmul(jax.nn.silu(gate) * up, lp["down"])
         return (h, kc, vc, layer_idx + 1), None
 
     (h, k_cache, v_cache, _), _ = jax.lax.scan(

@@ -1,0 +1,159 @@
+"""Weight-only quantization: symmetric INT8 / packed INT4 with per-group
+scales, plus the matmul dispatch the model forward uses.
+
+North-star capability beyond reference parity (SURVEY §7 design stance —
+the reference has no quantization at all): weights are quantized once at
+load time and stay quantized in HBM; decode is HBM-bandwidth-bound, so
+halving/quartering weight bytes directly raises tokens/s. The jnp path here
+(dequantize → matmul) is the numerics oracle; the fused Pallas
+dequant+matmul kernel (ops/pallas/quant_matmul.py) is the fast path that
+never materializes the bf16 weight in HBM.
+
+Layout:
+- INT8: data int8 [..., in, out], scale f32 [..., in/G, out]
+- INT4: two values per byte packed along the *in* dim — data uint8
+  [..., in/2, out] (row 2i in the low nibble, 2i+1 in the high nibble),
+  scale f32 [..., in/G, out]
+
+G (group_size) divides the in dim; G == in gives per-(output-)channel
+scales. Quantization is symmetric (no zero points): int8 range ±127,
+int4 range ±7.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "scale"],
+    meta_fields=["bits", "group_size"],
+)
+@dataclass
+class QuantizedTensor:
+    """A quantized weight living in HBM. Behaves as a pytree node, so it can
+    ride through `lax.scan` xs (the stacked-layer loop) — scan slices the
+    array fields' leading axis and keeps bits/group_size as static metadata."""
+
+    data: jax.Array
+    scale: jax.Array
+    bits: int
+    group_size: int
+
+    @property
+    def in_dim(self) -> int:
+        n = self.data.shape[-2]
+        return n * 2 if self.bits == 4 else n
+
+    @property
+    def out_dim(self) -> int:
+        return self.data.shape[-1]
+
+
+def _pick_group_size(in_dim: int, requested: Optional[int]) -> int:
+    if requested and in_dim % requested == 0:
+        return requested
+    for g in (128, 64, 32):
+        if in_dim % g == 0:
+            return g
+    return in_dim
+
+
+def quantize(w: jax.Array, bits: int, group_size: Optional[int] = None) -> QuantizedTensor:
+    """Symmetric per-group quantization of a weight [..., in, out].
+
+    Groups run along the in (contraction) dim so the matmul accumulates
+    `sum_g scale_g * (x_g . q_g)` — scales factor out of each group's
+    partial dot product.
+    """
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    *lead, in_dim, out_dim = w.shape
+    G = _pick_group_size(in_dim, group_size)
+    qmax = 127.0 if bits == 8 else 7.0
+
+    wf = np.asarray(w, np.float32).reshape(*lead, in_dim // G, G, out_dim)
+    absmax = np.abs(wf).max(axis=-2, keepdims=True)  # [..., in/G, 1, out]
+    scale = np.maximum(absmax / qmax, 1e-12)
+    q = np.clip(np.rint(wf / scale), -qmax, qmax).astype(np.int8)
+    q = q.reshape(*lead, in_dim, out_dim)
+    scale = scale.squeeze(-2)  # [..., in/G, out]
+
+    if bits == 4:
+        # Pack pairs along in: row 2i → low nibble, row 2i+1 → high nibble.
+        lo = q[..., 0::2, :].astype(np.uint8) & 0x0F
+        hi = q[..., 1::2, :].astype(np.uint8) & 0x0F
+        data = jnp.asarray(lo | (hi << 4))
+    else:
+        data = jnp.asarray(q)
+    return QuantizedTensor(
+        data=data, scale=jnp.asarray(scale, jnp.float32), bits=bits, group_size=G
+    )
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    """uint8 [..., in/2, out] → int8 values [..., in, out] (sign-extended)."""
+    lo = (packed & 0x0F).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    # Sign-extend 4-bit two's complement: v >= 8 → v - 16.
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    *lead, half, out = packed.shape
+    stacked = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
+    return stacked.reshape(*lead, half * 2, out)
+
+
+def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
+    """Reference (jnp) dequantization — [..., in, out] in `dtype`."""
+    q = _unpack_int4(qt.data) if qt.bits == 4 else qt.data
+    *lead, in_dim, out = q.shape
+    G = qt.group_size
+    qf = q.astype(jnp.float32).reshape(*lead, in_dim // G, G, out)
+    w = qf * qt.scale[..., :, None, :]
+    return w.reshape(*lead, in_dim, out).astype(dtype)
+
+
+def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
+    """x [T, in] @ dequant(qt) [in, out] → [T, out] (x.dtype preserved).
+
+    jnp reference path: dequantize then matmul; XLA fuses the dequant into
+    the operand feed. The Pallas fused kernel replaces this on TPU for the
+    decode hot path (see ops/pallas/quant_matmul.py).
+    """
+    w = dequantize(qt, x.dtype)
+    return jnp.dot(x, w, preferred_element_type=x.dtype)
+
+
+def matmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor]) -> jax.Array:
+    """The model-forward matmul dispatch: plain arrays take the MXU matmul,
+    QuantizedTensor takes the dequant path."""
+    if isinstance(w, QuantizedTensor):
+        return quant_matmul(x, w)
+    return x @ w
+
+
+# Which leaves of the layer-stacked params get quantized: the four big
+# matmuls. Norms stay bf16 (tiny); embedding/lm_head stay bf16 (gather +
+# fp32-accum logits matmul).
+_QUANT_KEYS = ("qkv", "o", "gate_up", "down")
+
+
+def quantize_params(params: dict, method: str, group_size: Optional[int] = None) -> dict:
+    """Quantize the big matmul weights of a loaded params pytree in place
+    (applied once at load time, reference capability: none — north star)."""
+    bits = {"int8": 8, "int4": 4}.get(method)
+    if bits is None:
+        raise ValueError(f"unknown quantization method {method!r}")
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in _QUANT_KEYS:
+        layers[k] = quantize(layers[k], bits, group_size)
+    out["layers"] = layers
+    return out
