@@ -73,6 +73,19 @@ class ModelRunner:
             self.model_config, self.num_kvcache_blocks, self.block_size, kv_dtype
         )
 
+        # Pallas kernels: TPU backend only (CPU tests run the jnp oracle);
+        # head_dim must fill MXU/VPU lanes. TP>1 pending shard_map wrapping.
+        self.attn_impl = (
+            "pallas_decode"
+            if (
+                config.use_pallas
+                and jax.default_backend() == "tpu"
+                and self.model_config.head_dim % 128 == 0
+                and config.tensor_parallel_size == 1
+            )
+            else "ref"
+        )
+
         # Jit caches: one compiled executable per (flags, shape bucket) — the
         # TPU analogue of the reference's HashMap<batch_size, CudaGraph>.
         self._prefill_fns = {}
@@ -260,7 +273,8 @@ class ModelRunner:
         fk = (K, tuple(sorted(flags.items())))
         if fk not in self._decode_fns:
             self._decode_fns[fk] = build_decode_window(
-                self.model_config, self.family.forward, self.block_size, K, flags
+                self.model_config, self.family.forward, self.block_size, K, flags,
+                attn_impl=self.attn_impl,
             )
         self._note_shape(("decode", fk, S, MAXBLK, samp[4].shape[1]))
 

@@ -47,7 +47,12 @@ def build_prefill_step(cfg, forward_fn: Callable, flags: dict) -> Callable:
 
 
 def build_decode_window(
-    cfg, forward_fn: Callable, block_size: int, num_steps: int, flags: dict
+    cfg,
+    forward_fn: Callable,
+    block_size: int,
+    num_steps: int,
+    flags: dict,
+    attn_impl: str = "ref",
 ) -> Callable:
     """K self-feeding decode substeps in one jit.
 
@@ -87,7 +92,7 @@ def build_decode_window(
                 q_positions=jnp.where(valid, ctx - 1, -1)[:, None],
             )
             logits, k_cache, v_cache = forward_fn(
-                cfg, params, k_cache, v_cache, toks, meta
+                cfg, params, k_cache, v_cache, toks, meta, attn_impl=attn_impl
             )
             newtok = sample_logits(
                 logits,

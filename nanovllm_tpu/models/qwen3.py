@@ -129,10 +129,14 @@ def create_kv_caches(
     cfg: Qwen3Config, num_blocks: int, block_size: int, dtype=jnp.bfloat16,
     kv_heads: Optional[int] = None,
 ) -> tuple:
-    """Per-layer paged caches, stacked: [L, num_blocks, block_size, Hkv, Dh]
-    (reference: model_runner.rs:364-396)."""
+    """Per-layer paged caches, stacked: [L, num_blocks, Hkv, block_size, Dh].
+
+    kv_heads sits BEFORE block_size so one block DMA lands in VMEM as
+    [Hkv, block_size, Dh] — the batched-matmul layout the Pallas kernels
+    consume (reference keeps [blocks, block_size, kv_heads, head_dim],
+    model_runner.rs:364-396)."""
     Hkv = kv_heads or cfg.num_key_value_heads
-    shape = (cfg.num_hidden_layers, num_blocks, block_size, Hkv, cfg.head_dim)
+    shape = (cfg.num_hidden_layers, num_blocks, Hkv, block_size, cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -174,6 +178,7 @@ def forward(
     v_cache: jax.Array,
     token_ids: jax.Array,
     meta: AttentionMetadata,
+    attn_impl: str = "ref",
 ) -> tuple:
     """One model step over a flat token batch (prefill and decode unified).
 
@@ -181,6 +186,10 @@ def forward(
     query token, k_cache, v_cache). Call stack mirrors reference
     qwen3.rs:487-505 / SURVEY §3.4, with collectives inserted by the mesh
     shardings when TP > 1.
+
+    attn_impl (static): "ref" = gather-based jnp oracle; "pallas_decode" =
+    Pallas flash decode kernel (requires one query token per sequence in row
+    order, i.e. a decode batch).
     """
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     scale = Dh ** -0.5
@@ -207,9 +216,26 @@ def forward(
         q = apply_rope(q, meta.positions, cfg.rope_theta)
         k = apply_rope(k, meta.positions, cfg.rope_theta)
 
-        kc = kv_cache_write(kc, k, meta.slot_mapping, layer_idx)
-        vc = kv_cache_write(vc, v, meta.slot_mapping, layer_idx)
-        attn = paged_attention_ref(q, kc, vc, layer_idx, meta, scale)
+        if attn_impl == "pallas_decode":
+            # Attention reads the caches + an in-VMEM patch of this step's
+            # K/V; the commit kernel writes the row to HBM concurrently —
+            # no XLA scatter in the step.
+            from nanovllm_tpu.ops.pallas.paged_attention import (
+                kv_cache_commit,
+                paged_attention_decode,
+            )
+
+            attn = paged_attention_decode(
+                q, k, v, kc, vc, layer_idx, meta.block_tables,
+                meta.context_lens, scale=scale,
+            )
+            kc, vc = kv_cache_commit(
+                k, v, kc, vc, layer_idx, meta.block_tables, meta.context_lens
+            )
+        else:
+            kc = kv_cache_write(kc, k, meta.slot_mapping, layer_idx)
+            vc = kv_cache_write(vc, v, meta.slot_mapping, layer_idx)
+            attn = paged_attention_ref(q, kc, vc, layer_idx, meta, scale)
         h = h + matmul(attn.reshape(T, Hq * Dh), lp["o"])
 
         # MLP block (reference: qwen3.rs:305-314)

@@ -8,10 +8,14 @@ per-sequence naive loops (attention.rs:162-171, 193-206, 278-287) are the
 "must become a kernel" hot spots; this module is the numerics oracle, the
 Pallas kernels in `ragged_paged_attention.py` are the fast path.
 
-Layout: KV cache per layer is `[num_blocks, block_size, kv_heads, head_dim]`
-(reference: model_runner.rs:364-396). Queries arrive flat `[T, heads, dim]`
-(mixed prefill/decode tokens); attention gathers each sequence's KV through
-its block table and applies the causal mask in absolute positions.
+Layout: KV cache per layer is `[num_blocks, kv_heads, block_size, head_dim]`
+(the reference keeps `[num_blocks, block_size, kv_heads, head_dim]`,
+model_runner.rs:364-396; we put kv_heads BEFORE block_size so a DMA of one
+block arrives in VMEM as `[kv_heads, block_size, head_dim]` — exactly the
+batched-matmul layout the Pallas kernels consume, no in-VMEM transpose).
+Queries arrive flat `[T, heads, dim]` (mixed prefill/decode tokens);
+attention gathers each sequence's KV through its block table and applies the
+causal mask in absolute positions.
 """
 
 from __future__ import annotations
@@ -29,19 +33,31 @@ def kv_cache_write(
 ) -> jax.Array:
     """Scatter per-token K or V vectors into one layer of the stacked cache.
 
-    cache: [num_layers, num_blocks, block_size, kv_heads, head_dim] — the
+    cache: [num_layers, num_blocks, kv_heads, block_size, head_dim] — the
       FULL stacked cache (it lives in the layer-scan carry so XLA keeps the
       scatter in place on the donated buffer instead of round-tripping the
       whole cache through scan xs/ys copies).
-    values: [T, kv_heads, head_dim]; slot_mapping: [T] (-1 entries dropped);
-    layer_idx: scalar int32.
+    values: [T, kv_heads, head_dim]; slot_mapping: [T] = block*block_size +
+      offset (-1 entries dropped); layer_idx: scalar int32.
     Reference capability: attention.rs:150-174 (store_kv_cache).
     """
-    num_layers, num_blocks, block_size, kv_heads, head_dim = cache.shape
-    flat = cache.reshape(num_layers * num_blocks * block_size, kv_heads, head_dim)
-    offset = layer_idx * (num_blocks * block_size)
-    slots = jnp.where(slot_mapping >= 0, slot_mapping + offset, -1)
-    flat = flat.at[slots].set(values.astype(cache.dtype), mode="drop")
+    num_layers, num_blocks, kv_heads, block_size, head_dim = cache.shape
+    T = values.shape[0]
+    flat = cache.reshape(num_layers * num_blocks * kv_heads * block_size, head_dim)
+    # Flat row of (layer, block, head, offset):
+    #   ((layer*NB + block)*Hkv + head)*BS + offset
+    block = slot_mapping // block_size
+    offset = slot_mapping % block_size
+    base = (layer_idx * num_blocks + block) * (kv_heads * block_size) + offset
+    rows = base[:, None] + jnp.arange(kv_heads, dtype=jnp.int32)[None, :] * block_size
+    # Padding sentinel must be OUT OF BOUNDS POSITIVE: negative indices WRAP
+    # under numpy semantics (-1 = last row) even with mode="drop", which
+    # would corrupt the last block with padded-token garbage.
+    oob = jnp.int32(flat.shape[0])
+    rows = jnp.where(slot_mapping[:, None] >= 0, rows, oob)  # [T, kv_heads]
+    flat = flat.at[rows.reshape(-1)].set(
+        values.astype(cache.dtype).reshape(T * kv_heads, head_dim), mode="drop"
+    )
     return flat.reshape(cache.shape)
 
 
@@ -56,24 +72,27 @@ def paged_attention_ref(
     """Unified paged attention (prefill + decode) via block-table gather.
 
     q: [T, num_heads, head_dim] (RoPE already applied)
-    k_cache/v_cache: [num_layers, num_blocks, block_size, kv_heads, head_dim]
+    k_cache/v_cache: [num_layers, num_blocks, kv_heads, block_size, head_dim]
       stacked caches — must already contain this step's K/V (scatter first,
       then attend); layer_idx selects the layer inside the gather so no full
       layer slice is materialized.
     Returns [T, num_heads, head_dim].
     """
     T, num_heads, head_dim = q.shape
-    _, num_blocks, block_size, kv_heads, _ = k_cache.shape
+    _, num_blocks, kv_heads, block_size, _ = k_cache.shape
     S, max_blocks = meta.block_tables.shape
     Q = meta.q_gather.shape[1]
     L = max_blocks * block_size
     groups = num_heads // kv_heads
 
-    # Gather per-sequence K/V: [S, L, kv_heads, head_dim]. Padded block-table
-    # entries (-1) clip to block 0; their positions are masked below.
+    # Gather per-sequence K/V: [S, B, kv_heads, block_size, head_dim]. Padded
+    # block-table entries (-1) clip to block 0; their positions are masked
+    # below. Flatten (B, block_size) -> L with kv_heads kept inside.
     tables = jnp.clip(meta.block_tables, 0, num_blocks - 1)
-    k = k_cache[layer_idx, tables].reshape(S, L, kv_heads, head_dim)
-    v = v_cache[layer_idx, tables].reshape(S, L, kv_heads, head_dim)
+    k = k_cache[layer_idx, tables]  # [S, B, Hkv, BS, Dh]
+    v = v_cache[layer_idx, tables]
+    k = jnp.einsum("sbhcd->shbcd", k).reshape(S, kv_heads, L, head_dim)
+    v = jnp.einsum("sbhcd->shbcd", v).reshape(S, kv_heads, L, head_dim)
 
     # Gather queries into the padded [S, Q] grid.
     qg = q[jnp.clip(meta.q_gather, 0, T - 1)]  # [S, Q, num_heads, head_dim]
@@ -81,7 +100,7 @@ def paged_attention_ref(
 
     # Scores in fp32: [S, kv_heads, groups, Q, L]
     scores = jnp.einsum(
-        "sqhgd,slhd->shgql", qg.astype(jnp.float32), k.astype(jnp.float32)
+        "sqhgd,shld->shgql", qg.astype(jnp.float32), k.astype(jnp.float32)
     ) * scale
 
     # Causal + validity mask in absolute positions: key j (its slot index in
@@ -94,7 +113,7 @@ def paged_attention_ref(
     scores = jnp.where(mask, scores, _NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("shgql,slhd->sqhgd", probs, v.astype(jnp.float32))
+    out = jnp.einsum("shgql,shld->sqhgd", probs, v.astype(jnp.float32))
     out = out.reshape(S, Q, num_heads, head_dim)
 
     # Back to the flat token layout.

@@ -48,9 +48,9 @@ def param_pspecs(tie_word_embeddings: bool = False) -> dict:
 
 
 def kv_cache_pspec() -> P:
-    """[layers, num_blocks, block_size, kv_heads, head_dim] — KV heads over
+    """[layers, num_blocks, kv_heads, block_size, head_dim] — KV heads over
     the model axis; the block pool is replicated within a slice."""
-    return P(None, None, None, AXIS_MODEL, None)
+    return P(None, None, AXIS_MODEL, None, None)
 
 
 def metadata_pspecs() -> dict:
