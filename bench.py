@@ -65,7 +65,7 @@ def run_once(engine, prompts, params):
     seqs = [engine.add_request(p, params) for p in prompts]
     start = time.perf_counter()
     prefill_done = None
-    while not engine.scheduler.is_finished():
+    while not engine.is_finished():
         engine.step()
         if prefill_done is None and all(s.num_completion_tokens >= 1 for s in seqs):
             prefill_done = time.perf_counter()
@@ -88,6 +88,10 @@ def main():
         max_num_seqs=NUM_SEQS,
         max_num_batched_tokens=8192,
         max_model_len=PROMPT_LEN * 2 + DECODE_TOKENS + BLOCK_SIZE,
+        # One device dispatch per 32 decode tokens: the host<->device round
+        # trip (~28 ms on a tunneled attachment) amortizes over a window
+        # that outlasts it, and the async pipeline overlaps the rest.
+        decode_window=32,
     )
     engine = LLMEngine(cfg)
     prompts = make_prompts()

@@ -69,7 +69,16 @@ class Config:
     # Decode iterations per device dispatch: sampled tokens feed the next
     # substep on device (lax.scan), so the host syncs once per window instead
     # of once per token. 1 = reference-style single-step decode.
-    decode_window: int = 8
+    decode_window: int = 16
+    # Async pipelined scheduling: dispatch batch N+1 before fetching batch
+    # N's tokens (the next batch's input tokens are gathered from the
+    # previous dispatch's on-device output). Hides the host<->device round
+    # trip behind device compute. False = reference-style synchronous steps.
+    async_scheduling: bool = True
+    # Max dispatches in flight before the oldest is fetched. Depth 2 lets
+    # the device->host token copy of window N land while window N+1 is
+    # still computing (the copy RTT can exceed one window's compute).
+    pipeline_depth: int = 2
 
     def __post_init__(self):
         if isinstance(self.decode_batch_buckets, list):
@@ -119,6 +128,8 @@ class Config:
             raise ValueError("num_kvcache_blocks must be positive when set")
         if self.decode_window < 1:
             raise ValueError(f"decode_window must be >= 1, got {self.decode_window}")
+        if self.pipeline_depth < 1:
+            raise ValueError(f"pipeline_depth must be >= 1, got {self.pipeline_depth}")
 
     # ------------------------------------------------------------------
     # JSON load/save (reference: src/config.rs:122-144)

@@ -226,8 +226,10 @@ class BlockManager:
     # single-step protocol exactly.
     # ------------------------------------------------------------------
     def blocks_needed(self, seq: Sequence, window: int = 1) -> int:
-        """New blocks required to cover positions through len+window-2."""
-        highest_pos = len(seq) + window - 2
+        """New blocks required to cover positions through
+        total_len+window-2 (total_len counts speculative in-flight tokens
+        of pending async windows, which already occupy reserved slots)."""
+        highest_pos = seq.total_len() + window - 2
         total = highest_pos // self.block_size + 1
         return max(0, total - len(seq.block_table))
 

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from typing import AsyncGenerator, Dict, List, Optional
 
 from nanovllm_tpu.config import Config
-from nanovllm_tpu.engine.model_runner import ModelRunner
+from nanovllm_tpu.engine.model_runner import DispatchHandle, ModelRunner
 from nanovllm_tpu.engine.sampling_params import SamplingParams
 from nanovllm_tpu.engine.scheduler import Scheduler, SchedulerStats
 from nanovllm_tpu.engine.sequence import Sequence, SequenceOutput, SequenceStatus
@@ -72,6 +72,11 @@ class LLMEngine:
         self.model_runner = ModelRunner(config, rng_seed=rng_seed)
         self.scheduler = Scheduler(config)
         self.is_running = False
+        # Async pipelined scheduling: up to `pipeline_depth` dispatches in
+        # flight whose results have not been fetched (sampled tokens feed
+        # the next dispatch ON DEVICE, so host round trips overlap device
+        # work). FIFO order.
+        self._pending: List[DispatchHandle] = []
         # Incremental detokenization state per live seq_id.
         self._stream_text: Dict[int, str] = {}
         logger.info(
@@ -114,22 +119,63 @@ class LLMEngine:
     # One engine iteration (reference: llm_engine.rs:155-197)
     # ------------------------------------------------------------------
     def step(self) -> List[SequenceOutput]:
-        """schedule → execute → sample → postprocess. Returns outputs for
-        sequences that finished (or failed) this step."""
+        """One pipelined engine iteration: dispatch the NEXT batch, then
+        fetch + postprocess the PREVIOUS one (whose device work overlapped
+        this host work). Returns outputs for sequences that finished (or
+        failed) this step.
+
+        Reference parity: llm_engine.rs:155-197, but asynchronous — the
+        reference executes and waits inside each step."""
         outputs: List[SequenceOutput] = []
+        # Repetition-penalty sampling packs confirmed token history into
+        # device buffers at dispatch: flush the pipeline first.
+        if self._pending and (
+            not self.config.async_scheduling or self._needs_token_history()
+        ):
+            while self._pending:
+                self._drain_oldest(outputs)
+
         seqs, is_prefill = self.scheduler.schedule(self.config.decode_window)
         # Requests rejected during scheduling (prompt too long / can never
         # fit) surface as error outputs, not exceptions.
         while self.scheduler.failed:
             failed = self.scheduler.failed.popleft()
             outputs.append(failed.create_output(self._detokenize(failed)))
-        if not seqs:
-            return outputs
-        token_windows = self.model_runner.run(seqs, is_prefill)
-        finished = self.scheduler.postprocess_window(seqs, token_windows)
+
+        if seqs:
+            handle = self.model_runner.dispatch(seqs, is_prefill, prev=list(self._pending))
+            for s in seqs:
+                s.num_pending += handle.k
+            self._pending.append(handle)
+            depth = self.config.pipeline_depth if self.config.async_scheduling else 0
+            while len(self._pending) > depth:
+                self._drain_oldest(outputs)
+        elif self._pending:
+            # Nothing schedulable: make progress by fetching the oldest.
+            self._drain_oldest(outputs)
+        return outputs
+
+    def _drain_oldest(self, outputs: List[SequenceOutput]) -> None:
+        handle = self._pending.pop(0)
+        token_windows = self.model_runner.fetch(handle)
+        finished = self.scheduler.postprocess_window(handle.seqs, token_windows, handle.k)
         for seq in finished:
             outputs.append(seq.create_output(self._detokenize(seq)))
-        return outputs
+
+    def _needs_token_history(self) -> bool:
+        for q in (self.scheduler.running, self.scheduler.waiting):
+            for s in q:
+                p = s.sampling_params.repetition_penalty
+                if p is not None and p != 1.0:
+                    return True
+        return False
+
+    def is_finished(self) -> bool:
+        """True when no request is queued, running, or in flight."""
+        return self.scheduler.is_finished() and not self._pending
+
+    def has_unfinished(self) -> bool:
+        return not self.is_finished()
 
     def _detokenize(self, seq: Sequence) -> str:
         return self.tokenizer.decode(seq.completion_token_ids)
@@ -148,7 +194,7 @@ class LLMEngine:
         self.is_running = True
         try:
             collected: Dict[int, SequenceOutput] = {}
-            while not self.scheduler.is_finished():
+            while not self.is_finished():
                 for out in self.step():
                     collected[out.seq_id] = out
             # Preserve request order.
@@ -201,7 +247,7 @@ class LLMEngine:
             raise
         finally:
             self._stream_text.pop(seq.seq_id, None)
-            self.is_running = self.scheduler.has_unfinished()
+            self.is_running = self.has_unfinished()
 
     def _abort(self, seq: Sequence) -> None:
         if seq.status in (SequenceStatus.FINISHED, SequenceStatus.ERROR):
@@ -250,8 +296,11 @@ class LLMEngine:
         )
 
     def shutdown(self) -> None:
-        """Preempt everything; in-flight requests can be resumed by a new
-        engine via re-prefill (reference: llm_engine.rs:345-357)."""
+        """Drain the pipeline, then preempt everything; in-flight requests
+        can be resumed by a new engine via re-prefill
+        (reference: llm_engine.rs:345-357)."""
+        while self._pending:
+            self._drain_oldest([])
         self.scheduler.preempt_all()
         self.is_running = False
 

@@ -17,8 +17,9 @@ from __future__ import annotations
 
 import logging
 import math
+from dataclasses import dataclass, field
 from functools import partial
-from typing import List, Optional, Sequence as Seq
+from typing import Dict, List, Optional, Sequence as Seq
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,17 @@ def _next_pow2(n: int, lo: int = 1) -> int:
     return max(lo, 1 << (n - 1).bit_length())
 
 
+@partial(jax.jit, static_argnames=("is_prefill",))
+def _merge_last_tokens(last_tokens, src, tokens_dev, *, is_prefill: bool):
+    """last_tokens[i] = tokens_dev[..., src[i]] where src[i] >= 0.
+
+    One jitted call instead of several eager ops: each eager dispatch costs
+    milliseconds on a tunneled device attachment."""
+    prev_last = tokens_dev if is_prefill else tokens_dev[-1]
+    gathered = prev_last[jnp.clip(src, 0, None)]
+    return jnp.where(src >= 0, gathered, last_tokens)
+
+
 def _pick_bucket(n: int, buckets: Seq[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -46,6 +58,28 @@ def _pick_bucket(n: int, buckets: Seq[int]) -> int:
 
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}
+
+
+@dataclass
+class DispatchHandle:
+    """An in-flight device dispatch (async pipelined scheduling).
+
+    The sampled tokens stay on device until `fetch`; the NEXT dispatch can
+    gather its input tokens directly from `tokens_dev` (row_of maps seq_id
+    to its column), so scheduling a new window never waits on the previous
+    one — the host↔device round trip overlaps device compute. No reference
+    counterpart (the reference engine is synchronous, llm_engine.rs:155-197).
+    """
+
+    seqs: List[Sequence]
+    is_prefill: bool
+    k: int                 # speculative tokens per sequence
+    tokens_dev: object     # jax.Array — prefill: [S]; decode: [K, S]
+    row_of: Dict[int, int] = field(default_factory=dict)
+
+    def last_tokens_dev(self):
+        """[S_prev] device array of each column's final sampled token."""
+        return self.tokens_dev if self.is_prefill else self.tokens_dev[-1]
 
 
 class ModelRunner:
@@ -207,14 +241,11 @@ class ModelRunner:
             cursor = np.zeros((S,), np.int32)
 
         flags = {"use_top_k": use_top_k, "use_top_p": use_top_p, "use_penalty": use_penalty}
-        samp = (
-            jnp.asarray(temps),
-            jnp.asarray(top_k),
-            jnp.asarray(top_p),
-            jnp.asarray(rep_pen),
-            jnp.asarray(penalty_buf),
-        )
-        return samp, jnp.asarray(cursor), flags
+        # Plain numpy: the jit call batches all host->device transfers in
+        # one dispatch (eager jnp.asarray costs ms each on a tunneled
+        # device attachment).
+        samp = (temps, top_k, top_p, rep_pen, penalty_buf)
+        return samp, cursor, flags
 
     def _note_shape(self, key) -> None:
         if key not in self._seen_shapes:
@@ -223,15 +254,48 @@ class ModelRunner:
             logger.info("compiling step for %s", (key,))
 
     def run(self, seqs: List[Sequence], is_prefill: bool) -> List[List[int]]:
-        """Execute one serving dispatch. Returns, per sequence, the list of
-        newly sampled token ids (length 1 for prefill, decode_window for
-        decode windows)."""
-        self._rng, key = jax.random.split(self._rng)
-        if is_prefill:
-            return self._run_prefill(seqs, key)
-        return self._run_decode_window(seqs, key)
+        """Synchronous dispatch + fetch (used by tests and the sync engine
+        mode). Returns, per sequence, the newly sampled token ids."""
+        return self.fetch(self.dispatch(seqs, is_prefill))
 
-    def _run_prefill(self, seqs: List[Sequence], key) -> List[List[int]]:
+    def dispatch(
+        self,
+        seqs: List[Sequence],
+        is_prefill: bool,
+        prev=None,
+    ) -> DispatchHandle:
+        """Enqueue one serving dispatch WITHOUT waiting for results.
+
+        `prev`: still-in-flight previous dispatch(es) (a DispatchHandle or
+        a list, oldest first) — sequences present in one take their input
+        token from its on-device output (their host token list lags)."""
+        self._rng, key = jax.random.split(self._rng)
+        if prev is None:
+            prev = []
+        elif isinstance(prev, DispatchHandle):
+            prev = [prev]
+        if is_prefill:
+            handle = self._dispatch_prefill(seqs, key)
+        else:
+            handle = self._dispatch_decode_window(seqs, key, prev)
+        try:
+            # Start the device->host copy now; it lands while the host
+            # prepares the next dispatch, so fetch() is (near-)free.
+            handle.tokens_dev.copy_to_host_async()
+        except Exception:
+            pass
+        return handle
+
+    def fetch(self, handle: DispatchHandle) -> List[List[int]]:
+        """Block on a dispatch and return, per sequence, the list of newly
+        sampled token ids (length 1 for prefill, k for decode windows)."""
+        out = np.asarray(handle.tokens_dev)
+        n = len(handle.seqs)
+        if handle.is_prefill:
+            return [[int(t)] for t in out[:n]]
+        return [out[:, i].tolist() for i in range(n)]
+
+    def _dispatch_prefill(self, seqs: List[Sequence], key) -> DispatchHandle:
         from nanovllm_tpu.engine.step_fn import build_prefill_step
 
         T, S, MAXBLK, Q = self._prefill_buckets(seqs)
@@ -253,12 +317,16 @@ class ModelRunner:
         ]
         tokens, meta = build_metadata(seqs_meta, self.block_size, T, S, MAXBLK, Q)
         toks, self.k_cache, self.v_cache = self._prefill_fns[fkey](
-            self.params, self.k_cache, self.v_cache, jnp.asarray(tokens), meta, samp, key
+            self.params, self.k_cache, self.v_cache, tokens, meta, samp, key
         )
-        out = np.asarray(toks)[: len(seqs)]
-        return [[int(t)] for t in out]
+        return DispatchHandle(
+            seqs=seqs, is_prefill=True, k=1, tokens_dev=toks,
+            row_of={s.seq_id: i for i, s in enumerate(seqs)},
+        )
 
-    def _run_decode_window(self, seqs: List[Sequence], key) -> List[List[int]]:
+    def _dispatch_decode_window(
+        self, seqs: List[Sequence], key, prev: List[DispatchHandle]
+    ) -> DispatchHandle:
         from nanovllm_tpu.engine.step_fn import build_decode_window
 
         K = self.config.decode_window
@@ -278,24 +346,42 @@ class ModelRunner:
             )
         self._note_shape(("decode", fk, S, MAXBLK, samp[4].shape[1]))
 
-        last_tokens = np.zeros((S,), np.int32)
+        host_last = np.zeros((S,), np.int32)
         block_tables = np.full((S, MAXBLK), -1, np.int32)
         context_lens = np.zeros((S,), np.int32)
         for i, s in enumerate(seqs):
-            last_tokens[i] = s.last_token
+            host_last[i] = s.last_token
             block_tables[i, : len(s.block_table)] = s.block_table
-            context_lens[i] = len(s)
+            # total_len counts the previous window's in-flight tokens: this
+            # window's substep 0 writes KV at position total_len - 1.
+            context_lens[i] = s.total_len()
+
+        last_tokens = host_last
+        # Sequences still in flight take their true last token from the
+        # MOST RECENT pending dispatch containing them (host list is
+        # stale); `prev` is oldest-first, so apply in order — later handles
+        # overwrite earlier ones.
+        for h in prev:
+            src = np.full((S,), -1, np.int32)
+            for i, s in enumerate(seqs):
+                src[i] = h.row_of.get(s.seq_id, -1)
+            if (src >= 0).any():
+                last_tokens = _merge_last_tokens(
+                    last_tokens, src, h.tokens_dev, is_prefill=h.is_prefill
+                )
 
         toks, self.k_cache, self.v_cache = self._decode_fns[fk](
             self.params,
             self.k_cache,
             self.v_cache,
-            jnp.asarray(last_tokens),
-            jnp.asarray(block_tables),
-            jnp.asarray(context_lens),
+            last_tokens,
+            block_tables,
+            context_lens,
             samp,
             cursor,
             key,
         )
-        out = np.asarray(toks)  # [K, S]
-        return [out[:, i].tolist() for i in range(num_seqs)]
+        return DispatchHandle(
+            seqs=seqs, is_prefill=False, k=K, tokens_dev=toks,
+            row_of={s.seq_id: i for i, s in enumerate(seqs)},
+        )

@@ -144,6 +144,11 @@ class Scheduler:
             if len(self.running) >= self.max_num_seqs:
                 break
             seq = self.waiting[0]
+            if seq.num_pending > 0:
+                # A preempted seq whose async window is still in flight:
+                # re-prefilling now would fork position history. Wait for
+                # the pending tokens to drain (next fetch).
+                break
             if len(seq) > self.max_model_len or seq.num_blocks() > self.block_manager.num_blocks:
                 # Impossible request (prompt too long, or its KV can never fit
                 # in the entire block pool): fail it rather than livelock the
@@ -176,10 +181,17 @@ class Scheduler:
     # ------------------------------------------------------------------
     def _schedule_decode(self, window: int = 1) -> List[Sequence]:
         scheduled: List[Sequence] = []
+        done: List[Sequence] = []
         pending = self.running
         self.running = deque()
         while pending:
             seq = pending.popleft()
+            if self._guaranteed_finished(seq):
+                # Already certain to stop within its in-flight tokens
+                # (length caps are host-predictable): scheduling more would
+                # burn whole zombie windows. The pending fetch finishes it.
+                done.append(seq)
+                continue
             preempted_self = False
             while not self.block_manager.can_append(seq, window):
                 if pending:
@@ -196,8 +208,17 @@ class Scheduler:
                 continue
             self.block_manager.may_append(seq, window)
             scheduled.append(seq)
-        self.running = deque(scheduled)
+        self.running = deque(scheduled + done)
         return scheduled
+
+    def _guaranteed_finished(self, seq: Sequence) -> bool:
+        """True when the tokens already in flight are certain to trigger a
+        length stop (max_tokens or max_model_len) at fetch time."""
+        if seq.num_pending <= 0:
+            return False
+        if seq.num_completion_tokens + seq.num_pending >= seq.sampling_params.max_tokens:
+            return True
+        return seq.total_len() >= self.max_model_len
 
     def _preempt(self, seq: Sequence) -> None:
         """Victim's blocks freed; it re-runs from the front of waiting,
@@ -217,13 +238,29 @@ class Scheduler:
         return self.postprocess_window(seqs, [[t] for t in token_ids])
 
     def postprocess_window(
-        self, seqs: List[Sequence], token_windows: List[List[int]]
+        self,
+        seqs: List[Sequence],
+        token_windows: List[List[int]],
+        dispatched: Optional[int] = None,
     ) -> List[Sequence]:
         """Append up to K sampled tokens per sequence (one decode window).
         Tokens generated on-device past a stop condition are discarded; full
-        blocks grown during the window become prefix-cache reusable."""
+        blocks grown during the window become prefix-cache reusable.
+
+        Async-pipeline semantics: `dispatched` is the speculative token
+        count reserved at dispatch (defaults to each window's length).
+        Sequences that finished/errored while this window was in flight are
+        zombies — their tokens are discarded. Sequences PREEMPTED while in
+        flight keep their tokens (they are valid continuations computed
+        before the blocks were freed) and re-prefill with them included.
+        """
         finished: List[Sequence] = []
         for seq, window_tokens in zip(seqs, token_windows):
+            seq.num_pending = max(
+                0, seq.num_pending - (dispatched if dispatched is not None else len(window_tokens))
+            )
+            if seq.status in (SequenceStatus.FINISHED, SequenceStatus.ERROR):
+                continue  # zombie window of an already-completed request
             stopped = False
             for token_id in window_tokens:
                 seq.append_token(int(token_id))
@@ -233,13 +270,14 @@ class Scheduler:
             if stopped:
                 seq.finish()
                 self.block_manager.deallocate(seq)
-                try:
-                    self.running.remove(seq)
-                except ValueError:
-                    pass
+                for q in (self.running, self.waiting):
+                    try:
+                        q.remove(seq)
+                    except ValueError:
+                        pass
                 self.num_finished += 1
                 finished.append(seq)
-            else:
+            elif seq.status == SequenceStatus.RUNNING:
                 self.block_manager.register_decode_progress(seq)
         return finished
 

@@ -72,6 +72,12 @@ class Sequence:
         self.block_table: List[int] = []
         self.sampling_params: SamplingParams = sampling_params or SamplingParams()
         self.block_size: int = block_size
+        # Tokens dispatched to the device but not yet fetched/confirmed
+        # (async pipelined scheduling): block math must reserve through
+        # them, and the sequence is ineligible for (re-)prefill until they
+        # drain. No reference counterpart — the reference engine is fully
+        # synchronous (llm_engine.rs:155-197).
+        self.num_pending: int = 0
         self.num_preemptions: int = 0
         self.arrival_time: float = time.monotonic()
         self.first_token_time: Optional[float] = None
@@ -100,6 +106,11 @@ class Sequence:
         self.token_ids.append(token_id)
         if self.first_token_time is None:
             self.first_token_time = time.monotonic()
+
+    def total_len(self) -> int:
+        """Confirmed + speculative (dispatched-not-yet-fetched) length —
+        the horizon KV block reservations must cover."""
+        return len(self.token_ids) + self.num_pending
 
     # ------------------------------------------------------------------
     # Block math (reference: sequence.rs:157-186)
