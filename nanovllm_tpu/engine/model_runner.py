@@ -107,6 +107,30 @@ class ModelRunner:
             self.model_config, self.num_kvcache_blocks, self.block_size, kv_dtype
         )
 
+        # Tensor/data parallelism: place params and KV caches onto the mesh
+        # with the TP layout (SURVEY §2.12); jit then compiles one SPMD
+        # program — XLA inserts the psum/all-gathers the reference left as
+        # TODO stubs (linear.rs:236-238, embed_head.rs:130-139).
+        self.mesh = None
+        if config.tensor_parallel_size * config.data_parallel_size > 1:
+            from nanovllm_tpu.parallel.mesh import build_mesh
+            from nanovllm_tpu.parallel.sharding import shard_kv_caches, shard_params
+
+            self.mesh = build_mesh(
+                config.tensor_parallel_size, config.data_parallel_size
+            )
+            self.params = shard_params(
+                self.mesh, self.params, self.model_config.tie_word_embeddings
+            )
+            self.k_cache, self.v_cache = shard_kv_caches(
+                self.mesh, self.k_cache, self.v_cache
+            )
+            logger.info(
+                "mesh: data=%d model=%d over %d devices",
+                config.data_parallel_size, config.tensor_parallel_size,
+                config.data_parallel_size * config.tensor_parallel_size,
+            )
+
         # Pallas kernels: TPU backend only (CPU tests run the jnp oracle);
         # head_dim must fill MXU/VPU lanes. TP>1 pending shard_map wrapping.
         self.attn_impl = (

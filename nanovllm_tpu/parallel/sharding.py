@@ -47,6 +47,32 @@ def param_pspecs(tie_word_embeddings: bool = False) -> dict:
     return specs
 
 
+def _quantize_spec(spec: P, qt) -> object:
+    """Mirror a weight PartitionSpec onto a QuantizedTensor node: the data
+    carries the weight's spec (the packed in-dim shards like the in-dim);
+    per-group scales [..., in/G, out] shard like the weight's last two dims."""
+    from nanovllm_tpu.ops.quant import QuantizedTensor
+
+    return QuantizedTensor(data=spec, scale=spec, bits=qt.bits, group_size=qt.group_size)
+
+
+def param_pspecs_for(params: dict, tie_word_embeddings: bool = False) -> dict:
+    """param_pspecs adapted to the actual params tree: QuantizedTensor
+    leaves get matching QuantizedTensor spec nodes."""
+    from nanovllm_tpu.ops.quant import QuantizedTensor
+
+    specs = param_pspecs(tie_word_embeddings)
+    out_layers = {}
+    for k, spec in specs["layers"].items():
+        leaf = params["layers"][k]
+        out_layers[k] = (
+            _quantize_spec(spec, leaf) if isinstance(leaf, QuantizedTensor) else spec
+        )
+    specs = dict(specs)
+    specs["layers"] = out_layers
+    return specs
+
+
 def kv_cache_pspec() -> P:
     """[layers, num_blocks, kv_heads, block_size, head_dim] — KV heads over
     the model axis; the block pool is replicated within a slice."""
@@ -73,10 +99,9 @@ def metadata_pspecs() -> dict:
 
 
 def shard_params(mesh: Mesh, params: dict, tie_word_embeddings: bool = False) -> dict:
-    specs = param_pspecs(tie_word_embeddings)
+    specs = param_pspecs_for(params, tie_word_embeddings)
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs,
-        is_leaf=lambda x: isinstance(x, P),
     )
 
 
