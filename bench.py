@@ -35,7 +35,7 @@ QWEN3_0_6B = dict(
 NUM_SEQS = 32
 PROMPT_LEN = 128
 DECODE_TOKENS = 128
-BLOCK_SIZE = 128
+BLOCK_SIZE = 256
 
 
 def make_model_dir() -> str:
