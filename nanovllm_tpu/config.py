@@ -79,6 +79,10 @@ class Config:
     # the device->host token copy of window N land while window N+1 is
     # still computing (the copy RTT can exceed one window's compute).
     pipeline_depth: int = 2
+    # Paged-KV block manager implementation: "auto" = native C++
+    # (cpp/block_manager.cc via ctypes) when buildable, else pure Python;
+    # "native" / "python" force one.
+    block_manager_backend: str = "auto"
 
     def __post_init__(self):
         if isinstance(self.decode_batch_buckets, list):
@@ -130,6 +134,11 @@ class Config:
             raise ValueError(f"decode_window must be >= 1, got {self.decode_window}")
         if self.pipeline_depth < 1:
             raise ValueError(f"pipeline_depth must be >= 1, got {self.pipeline_depth}")
+        if self.block_manager_backend not in ("auto", "native", "python"):
+            raise ValueError(
+                "block_manager_backend must be auto/native/python, "
+                f"got {self.block_manager_backend!r}"
+            )
 
     # ------------------------------------------------------------------
     # JSON load/save (reference: src/config.rs:122-144)

@@ -201,9 +201,12 @@ class BlockManager:
                 self.hash_to_block_id[block_hash] = block.block_id
             seq.block_table.append(block.block_id)
 
-        # Never allow a fully-cached prompt: force >= 1 query token.
+        # Never allow a fully-cached prompt: force >= 1 query token. The cap
+        # lands on a block boundary (recompute the whole final block) so
+        # num_cached_tokens is ALWAYS block-aligned — the bulk prefill
+        # KV-commit kernel relies on whole-block writes.
         if seq.num_cached_tokens >= len(seq):
-            seq.num_cached_tokens = len(seq) - 1
+            seq.num_cached_tokens = (len(seq) - 1) // self.block_size * self.block_size
 
     # ------------------------------------------------------------------
     # Deallocation (reference: block_manager.rs:240-252)

@@ -44,11 +44,33 @@ class MemoryStats:
 
 
 @dataclass
+class PerfStats:
+    """Per-step timing (SURVEY §5: per-step timing in engine stats; the
+    reference exposes none)."""
+
+    num_steps: int = 0
+    total_step_time_s: float = 0.0
+    last_step_time_s: float = 0.0
+    total_generated_tokens: int = 0
+
+    @property
+    def avg_step_time_s(self) -> float:
+        return self.total_step_time_s / self.num_steps if self.num_steps else 0.0
+
+    @property
+    def tokens_per_second(self) -> float:
+        if self.total_step_time_s <= 0:
+            return 0.0
+        return self.total_generated_tokens / self.total_step_time_s
+
+
+@dataclass
 class EngineStats:
     scheduler: SchedulerStats
     memory: MemoryStats
     is_running: bool
     num_compilations: int
+    perf: Optional[PerfStats] = None
 
 
 @dataclass
@@ -77,6 +99,7 @@ class LLMEngine:
         # the next dispatch ON DEVICE, so host round trips overlap device
         # work). FIFO order.
         self._pending: List[DispatchHandle] = []
+        self.perf = PerfStats()
         # Incremental detokenization state per live seq_id.
         self._stream_text: Dict[int, str] = {}
         logger.info(
@@ -126,6 +149,7 @@ class LLMEngine:
 
         Reference parity: llm_engine.rs:155-197, but asynchronous — the
         reference executes and waits inside each step."""
+        t0 = time.monotonic()
         outputs: List[SequenceOutput] = []
         # Repetition-penalty sampling packs confirmed token history into
         # device buffers at dispatch: flush the pipeline first.
@@ -153,11 +177,16 @@ class LLMEngine:
         elif self._pending:
             # Nothing schedulable: make progress by fetching the oldest.
             self._drain_oldest(outputs)
+        dt = time.monotonic() - t0
+        self.perf.num_steps += 1
+        self.perf.total_step_time_s += dt
+        self.perf.last_step_time_s = dt
         return outputs
 
     def _drain_oldest(self, outputs: List[SequenceOutput]) -> None:
         handle = self._pending.pop(0)
         token_windows = self.model_runner.fetch(handle)
+        self.perf.total_generated_tokens += sum(len(w) for w in token_windows)
         finished = self.scheduler.postprocess_window(handle.seqs, token_windows, handle.k)
         for seq in finished:
             outputs.append(seq.create_output(self._detokenize(seq)))
@@ -281,7 +310,16 @@ class LLMEngine:
             ),
             is_running=self.is_running,
             num_compilations=self.model_runner.num_compilations,
+            perf=self.perf,
         )
+
+    def profile(self, log_dir: str):
+        """Context manager: capture a jax.profiler device trace of the
+        enclosed steps (SURVEY §5 tracing/profiling; view with
+        tensorboard-plugin-profile or parse trace.json.gz)."""
+        import jax
+
+        return jax.profiler.trace(log_dir)
 
     def health_check(self) -> HealthStatus:
         sch = self.scheduler.get_stats()

@@ -133,16 +133,14 @@ class ModelRunner:
 
         # Pallas kernels: TPU backend only (CPU tests run the jnp oracle);
         # head_dim must fill MXU/VPU lanes. TP>1 pending shard_map wrapping.
-        self.attn_impl = (
-            "pallas_decode"
-            if (
-                config.use_pallas
-                and jax.default_backend() == "tpu"
-                and self.model_config.head_dim % 128 == 0
-                and config.tensor_parallel_size == 1
-            )
-            else "ref"
+        use_pallas = (
+            config.use_pallas
+            and jax.default_backend() == "tpu"
+            and self.model_config.head_dim % 128 == 0
+            and config.tensor_parallel_size == 1
         )
+        self.attn_impl = "pallas_decode" if use_pallas else "ref"
+        self.prefill_attn_impl = "pallas_prefill" if use_pallas else "ref"
 
         # Jit caches: one compiled executable per (flags, shape bucket) — the
         # TPU analogue of the reference's HashMap<batch_size, CudaGraph>.
@@ -327,7 +325,8 @@ class ModelRunner:
         fkey = tuple(sorted(flags.items()))
         if fkey not in self._prefill_fns:
             self._prefill_fns[fkey] = build_prefill_step(
-                self.model_config, self.family.forward, flags
+                self.model_config, self.family.forward, flags,
+                attn_impl=self.prefill_attn_impl,
             )
         self._note_shape(("prefill", fkey, T, S, MAXBLK, Q, samp[4].shape[1]))
 

@@ -68,10 +68,13 @@ class Scheduler:
         # Sequences rejected as impossible (e.g. prompt > max_model_len);
         # the engine drains these into error outputs.
         self.failed: Deque[Sequence] = deque()
-        self.block_manager = BlockManager(
+        from nanovllm_tpu.native import create_block_manager
+
+        self.block_manager = create_block_manager(
             num_blocks=config.num_kvcache_blocks or 1000,
             block_size=config.kvcache_block_size,
             enable_prefix_caching=config.enable_prefix_caching,
+            backend=config.block_manager_backend,
         )
         self.max_num_seqs = config.max_num_seqs
         self.max_num_batched_tokens = config.max_num_batched_tokens

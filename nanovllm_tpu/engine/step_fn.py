@@ -26,7 +26,9 @@ from nanovllm_tpu.ops.sampling import sample_logits
 from nanovllm_tpu.utils.metadata import AttentionMetadata
 
 
-def build_prefill_step(cfg, forward_fn: Callable, flags: dict) -> Callable:
+def build_prefill_step(
+    cfg, forward_fn: Callable, flags: dict, attn_impl: str = "ref"
+) -> Callable:
     """Fused forward + sample for a prefill batch (one token per sequence).
 
     Returns fn(params, kc, vc, tokens, meta, samp, key) -> (tokens [S], kc, vc)
@@ -36,7 +38,7 @@ def build_prefill_step(cfg, forward_fn: Callable, flags: dict) -> Callable:
     def fn(params, k_cache, v_cache, tokens, meta, samp, key):
         temps, top_k, top_p, rep_pen, penalty_buf = samp
         logits, k_cache, v_cache = forward_fn(
-            cfg, params, k_cache, v_cache, tokens, meta
+            cfg, params, k_cache, v_cache, tokens, meta, attn_impl=attn_impl
         )
         toks = sample_logits(
             logits, key, temps, top_k, top_p, rep_pen, penalty_buf, **flags

@@ -232,6 +232,36 @@ def forward(
             kc, vc = kv_cache_commit(
                 k, v, kc, vc, layer_idx, meta.block_tables, meta.context_lens
             )
+        elif attn_impl == "pallas_prefill":
+            # Whole-block DMA commit of this batch's K/V (the XLA row
+            # scatter costs tens of ms at prefill scale), then the flash
+            # varlen kernel reads history + new tokens from the cache.
+            from nanovllm_tpu.ops.pallas.flash_prefill import paged_attention_prefill
+            from nanovllm_tpu.ops.pallas.prefill_commit import prefill_kv_commit
+
+            S, Qn = meta.q_gather.shape
+            BSz = kc.shape[3]
+            Qpad = -(-Qn // BSz) * BSz
+
+            def to_grid(x):
+                g = x[jnp.clip(meta.q_gather, 0, T - 1)]  # [S, Q, Hkv, Dh]
+                g = g.transpose(0, 2, 1, 3)               # [S, Hkv, Q, Dh]
+                if Qpad != Qn:
+                    g = jnp.pad(g, ((0, 0), (0, 0), (0, Qpad - Qn), (0, 0)))
+                return g
+
+            qlen = jnp.sum(meta.q_positions >= 0, axis=1)
+            qstart = jnp.where(qlen > 0, meta.q_positions[:, 0], 0)
+            kc, vc = prefill_kv_commit(
+                to_grid(k), to_grid(v), kc, vc, layer_idx,
+                meta.block_tables, meta.context_lens,
+                (qstart // BSz).astype(jnp.int32),
+            )
+            attn = paged_attention_prefill(
+                q, kc, vc, layer_idx, meta.block_tables, meta.context_lens,
+                meta.q_gather, meta.q_positions, meta.token_seq,
+                meta.token_qcol, scale=scale,
+            )
         else:
             kc = kv_cache_write(kc, k, meta.slot_mapping, layer_idx)
             vc = kv_cache_write(vc, v, meta.slot_mapping, layer_idx)

@@ -44,7 +44,7 @@ def test_prefix_cache_hit_refcount_2():
     bm.allocate(b)
     # Both full blocks shared; forced recompute caps cached at len-1.
     assert b.block_table == a.block_table
-    assert b.num_cached_tokens == 7  # 8 cached, minus forced last-token recompute
+    assert b.num_cached_tokens == 4  # 8 cached, capped to a block boundary (>= 1 query)
     for bid in a.block_table:
         assert bm.blocks[bid].ref_count == 2
     bm.deallocate(b)
@@ -87,7 +87,7 @@ def test_free_cached_block_reactivation():
     b = mkseq(range(8))
     bm.allocate(b)
     assert b.block_table == table
-    assert b.num_cached_tokens == 7
+    assert b.num_cached_tokens == 4
 
 
 def test_recycled_block_loses_cached_identity():

@@ -142,3 +142,149 @@ class TestPagedAttentionDecode:
             pos = c - 1
             expect.add((layer, int(np.asarray(bt)[i, pos // BS]), pos % BS))
         assert changed <= expect  # identical values may produce no diff
+
+
+# ---------------------------------------------------------------------------
+# Prefill flash kernel
+# ---------------------------------------------------------------------------
+
+from nanovllm_tpu.ops.pallas.flash_prefill import paged_attention_prefill
+from nanovllm_tpu.utils.metadata import build_metadata
+
+
+def _make_prefill_case(seed, specs, Hq=8, Hkv=4, Dh=128, BS=16, dtype=jnp.float32):
+    """specs: list of (prompt_len, num_cached). Builds caches whose history
+    (cached prefixes) is random, scatters the batch K/V, and returns
+    everything needed to run both impls."""
+    rng = jax.random.PRNGKey(seed)
+    L, layer = 2, 1
+    T = sum(p - c for p, c in specs)
+    S = len(specs)
+    Q = max(p - c for p, c in specs)
+    max_blocks = max(-(-p // BS) for p, c in specs)
+    NB = 1 + S * max_blocks
+
+    seqs_meta = []
+    nxt = 1
+    for i, (plen, cached) in enumerate(specs):
+        ids = [(i * 31 + j) % 97 for j in range(plen)]
+        nb = -(-plen // BS)
+        seqs_meta.append({"token_ids": ids, "num_cached": cached,
+                          "block_table": list(range(nxt, nxt + nb))})
+        nxt += nb
+    tokens, meta = build_metadata(seqs_meta, BS, T=T, S=S, max_blocks=max_blocks, Q=Q)
+
+    q = jax.random.normal(jax.random.fold_in(rng, 1), (T, Hq, Dh), dtype)
+    k_cache = jax.random.normal(jax.random.fold_in(rng, 2), (L, NB, Hkv, BS, Dh), dtype)
+    v_cache = jax.random.normal(jax.random.fold_in(rng, 3), (L, NB, Hkv, BS, Dh), dtype)
+    # Scatter this batch's K/V (shared contract of both impls).
+    k_new = jax.random.normal(jax.random.fold_in(rng, 4), (T, Hkv, Dh), dtype)
+    v_new = jax.random.normal(jax.random.fold_in(rng, 5), (T, Hkv, Dh), dtype)
+    k_cache = kv_cache_write(k_cache, k_new, jnp.asarray(meta.slot_mapping), layer)
+    v_cache = kv_cache_write(v_cache, v_new, jnp.asarray(meta.slot_mapping), layer)
+    return q, k_cache, v_cache, layer, meta
+
+
+class TestFlashPrefill:
+    @pytest.mark.parametrize("specs", [
+        [(8, 0), (16, 0), (33, 0)],            # pure varlen prefill
+        [(48, 32), (20, 16), (5, 0)],          # cached prefixes (prefix hits)
+        [(16, 15)],                            # single query after deep cache
+        [(130, 0), (200, 64)],                 # multiple q tiles per seq
+    ])
+    def test_matches_ref(self, specs):
+        q, kc, vc, layer, meta = _make_prefill_case(7, specs)
+        scale = q.shape[-1] ** -0.5
+        ref = paged_attention_ref(q, kc, vc, layer, meta, scale)
+        got = paged_attention_prefill(
+            q, kc, vc, layer, meta.block_tables, meta.context_lens,
+            meta.q_gather, meta.q_positions, meta.token_seq, meta.token_qcol,
+            scale=scale, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5
+        )
+
+    def test_bf16(self):
+        q, kc, vc, layer, meta = _make_prefill_case(
+            9, [(40, 16), (64, 0)], dtype=jnp.bfloat16
+        )
+        scale = 0.1
+        ref = paged_attention_ref(q, kc, vc, layer, meta, scale)
+        got = paged_attention_prefill(
+            q, kc, vc, layer, meta.block_tables, meta.context_lens,
+            meta.q_gather, meta.q_positions, meta.token_seq, meta.token_qcol,
+            scale=scale, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+
+
+class TestPrefillCommit:
+    @pytest.mark.parametrize("specs", [
+        [(8, 0), (16, 0), (33, 0)],
+        [(48, 32), (20, 16), (5, 0)],
+        [(64, 48)],
+    ])
+    def test_matches_scatter_on_valid_positions(self, specs):
+        from nanovllm_tpu.ops.pallas.prefill_commit import prefill_kv_commit
+
+        BS, Hkv, Dh, L, layer = 16, 4, 128, 2, 1
+        T = sum(p - c for p, c in specs)
+        S = len(specs)
+        Q = max(p - c for p, c in specs)
+        max_blocks = max(-(-p // BS) for p, c in specs)
+        NB = 1 + S * max_blocks
+        seqs_meta, nxt = [], 1
+        for i, (plen, cached) in enumerate(specs):
+            assert cached % BS == 0
+            nb = -(-plen // BS)
+            seqs_meta.append({"token_ids": list(range(plen)), "num_cached": cached,
+                              "block_table": list(range(nxt, nxt + nb))})
+            nxt += nb
+        _, meta = build_metadata(seqs_meta, BS, T=T, S=S, max_blocks=max_blocks, Q=Q)
+
+        rng = jax.random.PRNGKey(11)
+        k_new = jax.random.normal(jax.random.fold_in(rng, 0), (T, Hkv, Dh), jnp.float32)
+        v_new = jax.random.normal(jax.random.fold_in(rng, 1), (T, Hkv, Dh), jnp.float32)
+        base_k = jax.random.normal(jax.random.fold_in(rng, 2), (L, NB, Hkv, BS, Dh), jnp.float32)
+        base_v = jax.random.normal(jax.random.fold_in(rng, 3), (L, NB, Hkv, BS, Dh), jnp.float32)
+
+        ref_k = kv_cache_write(base_k, k_new, jnp.asarray(meta.slot_mapping), layer)
+        ref_v = kv_cache_write(base_v, v_new, jnp.asarray(meta.slot_mapping), layer)
+
+        Qpad = -(-Q // BS) * BS
+        def to_grid(x):
+            g = x[jnp.clip(jnp.asarray(meta.q_gather), 0, T - 1)].transpose(0, 2, 1, 3)
+            return jnp.pad(g, ((0, 0), (0, 0), (0, Qpad - Q), (0, 0)))
+        qstart = jnp.asarray([c for _, c in specs], jnp.int32)
+        got_k, got_v = prefill_kv_commit(
+            to_grid(k_new), to_grid(v_new), base_k + 0, base_v + 0, layer,
+            jnp.asarray(meta.block_tables), jnp.asarray(meta.context_lens),
+            qstart // BS, interpret=True,
+        )
+        # Compare only valid positions: cached blocks (untouched), and
+        # written positions < plen; tail rows of the last block are
+        # explicitly don't-care.
+        for i, (plen, cached) in enumerate(specs):
+            table = seqs_meta[i]["block_table"]
+            for bi, blk in enumerate(table):
+                lo, hi = bi * BS, min((bi + 1) * BS, plen)
+                np.testing.assert_array_equal(
+                    np.asarray(got_k)[layer, blk, :, : hi - lo, :],
+                    np.asarray(ref_k)[layer, blk, :, : hi - lo, :],
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(got_v)[layer, blk, :, : hi - lo, :],
+                    np.asarray(ref_v)[layer, blk, :, : hi - lo, :],
+                )
+        # Other layers and unrelated blocks untouched.
+        np.testing.assert_array_equal(np.asarray(got_k)[0], np.asarray(base_k)[0])
+        used = {b for m in seqs_meta for b in m["block_table"]}
+        for blk in range(NB):
+            if blk not in used:
+                np.testing.assert_array_equal(
+                    np.asarray(got_k)[layer, blk], np.asarray(base_k)[layer, blk]
+                )
