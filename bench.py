@@ -50,10 +50,11 @@ def make_prompts():
     import random
 
     rng = random.Random(0)
-    # Distinct prompts (no prefix sharing): exercise the full decode path.
+    # Distinct prompts (no prefix sharing), each EXACTLY PROMPT_LEN tokens
+    # under the byte-level fallback tokenizer (1 ASCII char = 1 token).
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
     return [
-        " ".join(rng.choice("alpha beta gamma delta epsilon zeta eta theta".split())
-                 for _ in range(PROMPT_LEN))[: PROMPT_LEN * 2]
+        "".join(rng.choice(alphabet) for _ in range(PROMPT_LEN))
         for _ in range(NUM_SEQS)
     ]
 

@@ -49,10 +49,18 @@ class Qwen3Config:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
+    # Long-context hook (reference: rotary_embedding.rs:122-133
+    # `new_with_scaling` — RoPE base x factor): parsed from HF
+    # config.json's rope_scaling when type is linear.
+    rope_scaling_factor: float = 1.0
 
     @classmethod
     def from_hf(cls, d: dict) -> "Qwen3Config":
         heads = d["num_attention_heads"]
+        scaling = d.get("rope_scaling") or {}
+        factor = 1.0
+        if scaling.get("rope_type", scaling.get("type")) == "linear":
+            factor = float(scaling.get("factor", 1.0))
         return cls(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -65,6 +73,7 @@ class Qwen3Config:
             rms_norm_eps=d.get("rms_norm_eps", 1e-6),
             rope_theta=d.get("rope_theta", 10000.0),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
+            rope_scaling_factor=factor,
         )
 
     def validate(self, tensor_parallel_size: int = 1) -> None:
@@ -179,6 +188,7 @@ def forward(
     token_ids: jax.Array,
     meta: AttentionMetadata,
     attn_impl: str = "ref",
+    all_logits: bool = False,
 ) -> tuple:
     """One model step over a flat token batch (prefill and decode unified).
 
@@ -213,8 +223,11 @@ def forward(
         # Per-head-dim q/k norm BEFORE RoPE (HF Qwen3Attention).
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-        q = apply_rope(q, meta.positions, cfg.rope_theta)
-        k = apply_rope(k, meta.positions, cfg.rope_theta)
+        # Linear RoPE scaling = base x factor (reference
+        # rotary_embedding.rs:122-133), the long-context extension hook.
+        theta = cfg.rope_theta * cfg.rope_scaling_factor
+        q = apply_rope(q, meta.positions, theta)
+        k = apply_rope(k, meta.positions, theta)
 
         if attn_impl == "pallas_decode":
             # Attention reads the caches + an in-VMEM patch of this step's
@@ -284,11 +297,11 @@ def forward(
     h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
 
     # Logits only at each sequence's last query token
-    # (reference: embed_head.rs:272-306). bf16 matmul with fp32 accumulation
-    # — no fp32 weight copy.
-    last = h[meta.logits_idx]  # [S, D]
+    # (reference: embed_head.rs:272-306) — or, for evaluation (perplexity
+    # harness), at every token. bf16 matmul with fp32 accumulation.
+    x = h if all_logits else h[meta.logits_idx]  # [T or S, D]
     lm_w = params["embedding"] if cfg.tie_word_embeddings else params["lm_head"]
-    logits = jnp.dot(last, lm_w.T, preferred_element_type=jnp.float32)  # [S, V]
+    logits = jnp.dot(x, lm_w.T, preferred_element_type=jnp.float32)
     return logits, k_cache, v_cache
 
 

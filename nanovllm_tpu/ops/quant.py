@@ -58,6 +58,8 @@ class QuantizedTensor:
 
 
 def _pick_group_size(in_dim: int, requested: Optional[int]) -> int:
+    if requested == -1:
+        return in_dim  # per-(output-)channel scales
     if requested and in_dim % requested == 0:
         return requested
     for g in (128, 64, 32):
@@ -123,10 +125,16 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
 def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     """x [T, in] @ dequant(qt) [in, out] → [T, out] (x.dtype preserved).
 
-    jnp reference path: dequantize then matmul; XLA fuses the dequant into
-    the operand feed. The Pallas fused kernel replaces this on TPU for the
-    decode hot path (see ops/pallas/quant_matmul.py).
+    On TPU this dispatches to the fused Pallas dequant+matmul kernel (the
+    bf16 weights never exist in HBM; XLA's dequantize-then-dot materializes
+    them and measured SLOWER than bf16). The jnp dequantize path is the
+    oracle and the fallback for non-tileable shapes / other backends.
     """
+    if jax.default_backend() == "tpu":
+        from nanovllm_tpu.ops.pallas.quant_matmul import fusable, fused_quant_matmul
+
+        if fusable(x, qt):
+            return fused_quant_matmul(x, qt)
     w = dequantize(qt, x.dtype)
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 
@@ -151,6 +159,10 @@ def quantize_params(params: dict, method: str, group_size: Optional[int] = None)
     bits = {"int8": 8, "int4": 4}.get(method)
     if bits is None:
         raise ValueError(f"unknown quantization method {method!r}")
+    if group_size is None and bits == 8:
+        # Per-out-channel scales: int8 steps are fine enough, and a single
+        # scale row per tile keeps the fused kernel's VPU work minimal.
+        group_size = -1
     out = dict(params)
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:

@@ -50,10 +50,17 @@ def param_pspecs(tie_word_embeddings: bool = False) -> dict:
 def _quantize_spec(spec: P, qt) -> object:
     """Mirror a weight PartitionSpec onto a QuantizedTensor node: the data
     carries the weight's spec (the packed in-dim shards like the in-dim);
-    per-group scales [..., in/G, out] shard like the weight's last two dims."""
+    scales [..., in/G, out] shard likewise EXCEPT size-1 dims (per-channel
+    scales collapse the in dim), which must stay replicated."""
     from nanovllm_tpu.ops.quant import QuantizedTensor
 
-    return QuantizedTensor(data=spec, scale=spec, bits=qt.bits, group_size=qt.group_size)
+    axes = list(spec) + [None] * (len(qt.scale.shape) - len(spec))
+    scale_spec = P(*[
+        None if qt.scale.shape[i] == 1 else axes[i]
+        for i in range(len(qt.scale.shape))
+    ])
+    return QuantizedTensor(data=spec, scale=scale_spec, bits=qt.bits,
+                           group_size=qt.group_size)
 
 
 def param_pspecs_for(params: dict, tie_word_embeddings: bool = False) -> dict:

@@ -1,0 +1,68 @@
+"""Perplexity evaluation harness — the quantization quality gate.
+
+North-star acceptance (BASELINE.md): quantized perplexity delta < 0.1 vs
+bf16 at each bit width. Teacher-forced NLL over given token sequences,
+computed through the same functional forward + paged cache as serving (so
+it also covers the KV-write path of whatever kv_cache_dtype is configured).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanovllm_tpu.utils.metadata import build_metadata
+
+
+def sequence_nll(cfg, params, token_lists: List[List[int]],
+                 block_size: int = 16, kv_dtype=jnp.float32) -> tuple:
+    """Total negative log-likelihood (nats) and token count of predicting
+    token_lists[i][1:] from their prefixes."""
+    from nanovllm_tpu.models.qwen3 import create_kv_caches, forward
+
+    total_nll = 0.0
+    total_tokens = 0
+    for ids in token_lists:
+        T = len(ids)
+        nb = -(-T // block_size)
+        kc, vc = create_kv_caches(cfg, nb + 1, block_size, kv_dtype)
+        tokens, meta = build_metadata(
+            [{"token_ids": list(ids), "num_cached": 0,
+              "block_table": list(range(1, nb + 1))}],
+            block_size, T=T, S=1, max_blocks=nb, Q=T,
+        )
+        logits, _, _ = forward(
+            cfg, params, kc, vc, jnp.asarray(tokens), meta, all_logits=True
+        )  # [T, V]
+        logprobs = jax.nn.log_softmax(logits[:-1], axis=-1)
+        nll = -jnp.take_along_axis(
+            logprobs, jnp.asarray(ids[1:], jnp.int32)[:, None], axis=1
+        ).sum()
+        total_nll += float(nll)
+        total_tokens += T - 1
+    return total_nll, total_tokens
+
+
+def perplexity(cfg, params, token_lists: List[List[int]], **kw) -> float:
+    nll, n = sequence_nll(cfg, params, token_lists, **kw)
+    return math.exp(nll / max(n, 1))
+
+
+def quantization_ppl_report(cfg, params, token_lists: List[List[int]],
+                            methods=("int8", "int4"), **kw) -> dict:
+    """Perplexity of the bf16 params and each quantized variant.
+
+    Returns {"bf16": ppl, "int8": ppl, "int4": ppl, ...}; the serving
+    acceptance bar is ppl[method] - ppl["bf16"] < 0.1.
+    """
+    from nanovllm_tpu.ops.quant import quantize_params
+
+    report = {"bf16": perplexity(cfg, params, token_lists, **kw)}
+    for m in methods:
+        qp = quantize_params(params, m)
+        report[m] = perplexity(cfg, qp, token_lists, **kw)
+    return report

@@ -224,3 +224,37 @@ def test_impossible_prompt_returns_error_output(model_dir):
     assert outs[0].num_completion_tokens == 0
     assert outs[1].status == SequenceStatus.FINISHED
     assert outs[1].num_completion_tokens == 8
+
+
+class TestKVCacheDtypes:
+    def test_fp8_kv_cache_generates(self, tmp_model_dir):
+        import json
+        import os
+
+        import jax.numpy as jnp
+
+        from nanovllm_tpu import Config, SamplingParams
+        from nanovllm_tpu.engine.llm_engine import LLMEngine
+
+        with open(os.path.join(tmp_model_dir, "config.json"), "w") as f:
+            json.dump(dict(model_type="qwen3", vocab_size=512, hidden_size=128,
+                           intermediate_size=256, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           head_dim=32, tie_word_embeddings=True), f)
+        cfg = Config(model_path=tmp_model_dir, dtype="float32",
+                     kv_cache_dtype="fp8", kvcache_block_size=16,
+                     num_kvcache_blocks=32, max_model_len=256, decode_window=4)
+        eng = LLMEngine(cfg, rng_seed=0)
+        assert eng.model_runner.k_cache.dtype == jnp.float8_e4m3fn
+        outs = eng.generate(["hello world"],
+                            SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True))
+        assert outs[0].num_completion_tokens == 8
+
+    def test_int8_kv_cache_rejected(self, tmp_model_dir):
+        import pytest as _pytest
+
+        from nanovllm_tpu import Config
+
+        cfg = Config(model_path=tmp_model_dir, kv_cache_dtype="int8")
+        with _pytest.raises(ValueError, match="int8"):
+            cfg.validate()

@@ -288,3 +288,33 @@ class TestPrefillCommit:
                 np.testing.assert_array_equal(
                     np.asarray(got_k)[layer, blk], np.asarray(base_k)[layer, blk]
                 )
+
+
+class TestFusedQuantMatmul:
+    @pytest.mark.parametrize("bits,S,IN,OUT", [
+        (8, 16, 256, 384), (4, 16, 256, 384), (8, 8, 512, 1024), (4, 32, 1024, 512),
+    ])
+    def test_matches_jnp_dequant(self, bits, S, IN, OUT):
+        from nanovllm_tpu.ops.pallas.quant_matmul import fusable, fused_quant_matmul
+        from nanovllm_tpu.ops.quant import dequantize, quantize
+
+        rng = jax.random.PRNGKey(bits * 1000 + IN)
+        # The kernel feeds the MXU in bf16 (int8/int4 values are exact in
+        # bf16; scales apply in f32 after the dot) — use bf16-representable
+        # activations so the oracle computes on identical operand values.
+        x = jax.random.normal(jax.random.fold_in(rng, 0), (S, IN), jnp.float32)
+        x = x.astype(jnp.bfloat16).astype(jnp.float32)
+        w = jax.random.normal(jax.random.fold_in(rng, 1), (IN, OUT), jnp.float32)
+        qt = quantize(w, bits)
+        assert fusable(x, qt)
+        ref = x @ dequantize(qt, jnp.float32)
+        got = fused_quant_matmul(x, qt, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_not_fusable_shapes(self):
+        from nanovllm_tpu.ops.pallas.quant_matmul import fusable
+        from nanovllm_tpu.ops.quant import quantize
+
+        x = jnp.zeros((4, 96), jnp.float32)
+        qt = quantize(jnp.ones((96, 100), jnp.float32), 8)
+        assert not fusable(x, qt)

@@ -1,0 +1,55 @@
+"""Perplexity harness: correctness of the NLL computation (vs a direct HF
+forward on the golden tiny model) and the quantization quality gate."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nanovllm_tpu.utils.perplexity import perplexity, quantization_ppl_report
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    from nanovllm_tpu.models.qwen3 import Qwen3Config, init_params
+
+    cfg = Qwen3Config(
+        vocab_size=384, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=True,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.RandomState(0)
+    texts = [rng.randint(0, 384, size=n).tolist() for n in (24, 40)]
+    return cfg, params, texts
+
+
+class TestPerplexity:
+    def test_matches_manual_forward(self, tiny):
+        """NLL through the paged serving forward == NLL from plain logits."""
+        from nanovllm_tpu.models.qwen3 import create_kv_caches, forward
+        from nanovllm_tpu.utils.metadata import build_metadata
+
+        cfg, params, texts = tiny
+        ids = texts[0]
+        T = len(ids)
+        kc, vc = create_kv_caches(cfg, 4, 16, jnp.float32)
+        tokens, meta = build_metadata(
+            [{"token_ids": ids, "num_cached": 0, "block_table": [1, 2]}],
+            16, T=T, S=1, max_blocks=2, Q=T,
+        )
+        logits, _, _ = forward(cfg, params, kc, vc, jnp.asarray(tokens), meta,
+                               all_logits=True)
+        lp = jax.nn.log_softmax(np.asarray(logits[:-1]), axis=-1)
+        manual = float(np.exp(-lp[np.arange(T - 1), ids[1:]].mean()))
+        got = perplexity(cfg, params, [ids])
+        assert abs(got - manual) / manual < 1e-4
+
+    def test_quantization_quality_gate(self, tiny):
+        cfg, params, texts = tiny
+        report = quantization_ppl_report(cfg, params, texts)
+        assert report["bf16"] > 1.0
+        # INT8 must track bf16 tightly even on random weights; INT4 looser.
+        assert abs(report["int8"] - report["bf16"]) / report["bf16"] < 0.05
+        assert abs(report["int4"] - report["bf16"]) / report["bf16"] < 0.30
