@@ -60,32 +60,47 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc, *, bits: int, group: int,
     def _():
         acc[...] = jnp.zeros_like(acc)
 
-    if bits == 8:
-        q = w_ref[...].astype(jnp.bfloat16)  # [TI, TO] — single convert pass
-    else:
-        # Unpack in int32 (8-bit shifts don't legalize in Mosaic): row 2i in
-        # the low nibble, 2i+1 in the high nibble, 4-bit two's complement.
-        p32 = w_ref[...].astype(jnp.int32)  # [TI//2, TO]
-        lo = p32 & 0x0F
-        hi = jax.lax.shift_right_logical(p32, 4) & 0x0F
-        lo = jnp.where(lo >= 8, lo - 16, lo)
-        hi = jnp.where(hi >= 8, hi - 16, hi)
-        q = jnp.stack([lo, hi], axis=1).reshape(ti, to).astype(jnp.bfloat16)
-
     # Scales factor OUT of each group's partial dot: apply them to the
     # [S, TO] partial result instead of the [TI, TO] weights — VPU work per
     # tile drops from O(TI*TO) dequant to O(S*TO) per group.
     x = x_ref[...].astype(jnp.bfloat16)
     scales = s_ref[0]  # [TI//G (or 1), TO]
-    gpt = max(1, ti // group)  # groups per tile
-    span = ti // gpt
-    for g in range(gpt):
-        part = jax.lax.dot_general(
-            x[:, g * span:(g + 1) * span], q[g * span:(g + 1) * span, :],
+
+    def mm(xs, ws):
+        return jax.lax.dot_general(
+            xs, ws,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc[...] += part * scales[g][None, :]
+
+    if bits == 8:
+        q = w_ref[...].astype(jnp.bfloat16)  # [TI, TO] — single convert pass
+        gpt = max(1, ti // group)  # groups per tile
+        span = ti // gpt
+        for g in range(gpt):
+            acc[...] += mm(x[:, g * span:(g + 1) * span],
+                           q[g * span:(g + 1) * span, :]) * scales[g][None, :]
+    else:
+        # block256 int4: packed rows b*128..(b+1)*128 hold in-rows
+        # [b*256, b*256+128) in the low nibbles and [b*256+128, (b+1)*256)
+        # in the high nibbles — each half is CONTIGUOUS, so no interleave
+        # relayout: one dot per half. Unpack in int32 (8-bit shifts don't
+        # legalize in Mosaic).
+        p32 = w_ref[...].astype(jnp.int32)  # [TI//2, TO]
+        lo = p32 & 0x0F
+        hi = jax.lax.shift_right_logical(p32, 4) & 0x0F
+        lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.bfloat16)
+        hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.bfloat16)
+        per_channel = group >= ti
+        for b in range(ti // 256):
+            lo_b = lo[b * 128:(b + 1) * 128, :]
+            hi_b = hi[b * 128:(b + 1) * 128, :]
+            x_lo = x[:, b * 256: b * 256 + 128]
+            x_hi = x[:, b * 256 + 128: (b + 1) * 256]
+            s_lo = scales[0] if per_channel else scales[(b * 256) // group]
+            s_hi = scales[0] if per_channel else scales[(b * 256 + 128) // group]
+            acc[...] += mm(x_lo, lo_b) * s_lo[None, :]
+            acc[...] += mm(x_hi, hi_b) * s_hi[None, :]
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
@@ -146,6 +161,13 @@ def fusable(x: jax.Array, qt: QuantizedTensor) -> bool:
         # Prefill-scale batches blow the VMEM budget; XLA's dequant path is
         # acceptable there (compute-bound, dequant amortizes over tokens).
         return False
+    if qt.bits == 4:
+        # The kernel's contiguous-halves unpack requires block256 packing
+        # with one scale group per 128-row half (or per-channel scales).
+        if qt.pack != "block256":
+            return False
+        if not (qt.group_size == 128 or qt.group_size >= qt.in_dim):
+            return False
     IN, OUT = qt.in_dim, qt.out_dim
     TI, TO = _pick_tiles(x.shape[0], IN, OUT, 1)
     G = qt.group_size

@@ -34,18 +34,25 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["data", "scale"],
-    meta_fields=["bits", "group_size"],
+    meta_fields=["bits", "group_size", "pack"],
 )
 @dataclass
 class QuantizedTensor:
     """A quantized weight living in HBM. Behaves as a pytree node, so it can
     ride through `lax.scan` xs (the stacked-layer loop) — scan slices the
-    array fields' leading axis and keeps bits/group_size as static metadata."""
+    array fields' leading axis and keeps bits/group_size/pack as static
+    metadata.
+
+    pack (int4 only): "block256" packs nibble pairs (j, j+128) within each
+    256-row block of the in dim — unpacking is two contiguous halves (no
+    interleave, which costs VPU relayouts in the fused kernel); "pair"
+    packs adjacent rows (2i, 2i+1) for in dims not divisible by 256."""
 
     data: jax.Array
     scale: jax.Array
     bits: int
     group_size: int
+    pack: str = "none"
 
     @property
     def in_dim(self) -> int:
@@ -89,18 +96,30 @@ def quantize(w: jax.Array, bits: int, group_size: Optional[int] = None) -> Quant
     scale = scale.squeeze(-2)  # [..., in/G, out]
 
     if bits == 4:
-        # Pack pairs along in: row 2i → low nibble, row 2i+1 → high nibble.
-        lo = q[..., 0::2, :].astype(np.uint8) & 0x0F
-        hi = q[..., 1::2, :].astype(np.uint8) & 0x0F
-        data = jnp.asarray(lo | (hi << 4))
+        if in_dim % 256 == 0:
+            # block256: within each 256-row block, row j pairs with j+128.
+            qb = q.reshape(*lead, in_dim // 256, 256, out_dim)
+            lo = qb[..., :, :128, :].astype(np.uint8) & 0x0F
+            hi = qb[..., :, 128:, :].astype(np.uint8) & 0x0F
+            data = (lo | (hi << 4)).reshape(*lead, in_dim // 2, out_dim)
+            pack = "block256"
+        else:
+            # pair: row 2i -> low nibble, row 2i+1 -> high nibble.
+            lo = q[..., 0::2, :].astype(np.uint8) & 0x0F
+            hi = q[..., 1::2, :].astype(np.uint8) & 0x0F
+            data = lo | (hi << 4)
+            pack = "pair"
+        data = jnp.asarray(data)
     else:
         data = jnp.asarray(q)
+        pack = "none"
     return QuantizedTensor(
-        data=data, scale=jnp.asarray(scale, jnp.float32), bits=bits, group_size=G
+        data=data, scale=jnp.asarray(scale, jnp.float32), bits=bits,
+        group_size=G, pack=pack,
     )
 
 
-def _unpack_int4(packed: jax.Array) -> jax.Array:
+def _unpack_int4(packed: jax.Array, pack: str) -> jax.Array:
     """uint8 [..., in/2, out] → int8 values [..., in, out] (sign-extended)."""
     lo = (packed & 0x0F).astype(jnp.int8)
     hi = (packed >> 4).astype(jnp.int8)
@@ -108,13 +127,17 @@ def _unpack_int4(packed: jax.Array) -> jax.Array:
     lo = jnp.where(lo >= 8, lo - 16, lo)
     hi = jnp.where(hi >= 8, hi - 16, hi)
     *lead, half, out = packed.shape
+    if pack == "block256":
+        lo = lo.reshape(*lead, half // 128, 128, out)
+        hi = hi.reshape(*lead, half // 128, 128, out)
+        return jnp.concatenate([lo, hi], axis=-2).reshape(*lead, half * 2, out)
     stacked = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
     return stacked.reshape(*lead, half * 2, out)
 
 
 def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Reference (jnp) dequantization — [..., in, out] in `dtype`."""
-    q = _unpack_int4(qt.data) if qt.bits == 4 else qt.data
+    q = _unpack_int4(qt.data, qt.pack) if qt.bits == 4 else qt.data
     *lead, in_dim, out = q.shape
     G = qt.group_size
     qf = q.astype(jnp.float32).reshape(*lead, in_dim // G, G, out)

@@ -60,7 +60,7 @@ def _quantize_spec(spec: P, qt) -> object:
         for i in range(len(qt.scale.shape))
     ])
     return QuantizedTensor(data=spec, scale=scale_spec, bits=qt.bits,
-                           group_size=qt.group_size)
+                           group_size=qt.group_size, pack=qt.pack)
 
 
 def param_pspecs_for(params: dict, tie_word_embeddings: bool = False) -> dict:
