@@ -53,15 +53,20 @@ class Qwen3Config:
     # `new_with_scaling` — RoPE base x factor): parsed from HF
     # config.json's rope_scaling when type is linear.
     rope_scaling_factor: float = 1.0
+    # Family switches: Qwen3 applies per-head-dim RMSNorm to q/k before
+    # RoPE; Llama/Mistral don't; Qwen2 adds qkv biases instead.
+    use_qk_norm: bool = True
+    attention_bias: bool = False
 
     @classmethod
-    def from_hf(cls, d: dict) -> "Qwen3Config":
+    def from_hf(cls, d: dict, **overrides) -> "Qwen3Config":
         heads = d["num_attention_heads"]
         scaling = d.get("rope_scaling") or {}
         factor = 1.0
         if scaling.get("rope_type", scaling.get("type")) == "linear":
             factor = float(scaling.get("factor", 1.0))
         return cls(
+            **overrides,
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
             intermediate_size=d["intermediate_size"],
@@ -75,6 +80,17 @@ class Qwen3Config:
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             rope_scaling_factor=factor,
         )
+
+    @classmethod
+    def from_hf_llama(cls, d: dict) -> "Qwen3Config":
+        """Llama / Mistral: no q/k norm, no attention bias."""
+        return cls.from_hf(d, use_qk_norm=False,
+                           attention_bias=bool(d.get("attention_bias", False)))
+
+    @classmethod
+    def from_hf_qwen2(cls, d: dict) -> "Qwen3Config":
+        """Qwen2: no q/k norm, qkv biases."""
+        return cls.from_hf(d, use_qk_norm=False, attention_bias=True)
 
     def validate(self, tensor_parallel_size: int = 1) -> None:
         """Divisibility vs TP (reference: qwen3.rs:106-124)."""
@@ -115,18 +131,22 @@ def init_params(cfg: Qwen3Config, rng: jax.Array, dtype=jnp.bfloat16) -> dict:
     def w(key, shape, fan_in):
         return (jax.random.normal(key, shape, jnp.float32) / jnp.sqrt(fan_in)).astype(dtype)
 
+    layers = {
+        "input_ln": jnp.ones((L, D), dtype),
+        "qkv": w(ks[1], (L, D, (Hq + 2 * Hkv) * Dh), D),
+        "o": w(ks[2], (L, Hq * Dh, D), Hq * Dh),
+        "post_ln": jnp.ones((L, D), dtype),
+        "gate_up": w(ks[3], (L, D, 2 * I), D),
+        "down": w(ks[4], (L, I, D), I),
+    }
+    if cfg.use_qk_norm:
+        layers["q_norm"] = jnp.ones((L, Dh), dtype)
+        layers["k_norm"] = jnp.ones((L, Dh), dtype)
+    if cfg.attention_bias:
+        layers["qkv_bias"] = jnp.zeros((L, (Hq + 2 * Hkv) * Dh), dtype)
     params = {
         "embedding": w(ks[0], (V, D), D),
-        "layers": {
-            "input_ln": jnp.ones((L, D), dtype),
-            "qkv": w(ks[1], (L, D, (Hq + 2 * Hkv) * Dh), D),
-            "q_norm": jnp.ones((L, Dh), dtype),
-            "k_norm": jnp.ones((L, Dh), dtype),
-            "o": w(ks[2], (L, Hq * Dh, D), Hq * Dh),
-            "post_ln": jnp.ones((L, D), dtype),
-            "gate_up": w(ks[3], (L, D, 2 * I), D),
-            "down": w(ks[4], (L, I, D), I),
-        },
+        "layers": layers,
         "final_ln": jnp.ones((D,), dtype),
     }
     if not cfg.tie_word_embeddings:
@@ -215,14 +235,17 @@ def forward(
         # Attention block (reference: qwen3.rs:208-240)
         x = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
         qkv = matmul(x, lp["qkv"])  # [T, (Hq+2Hkv)*Dh]
+        if cfg.attention_bias:
+            qkv = qkv + lp["qkv_bias"]
         q, k, v = jnp.split(qkv, [Hq * Dh, (Hq + Hkv) * Dh], axis=-1)
         T = q.shape[0]
         q = q.reshape(T, Hq, Dh)
         k = k.reshape(T, Hkv, Dh)
         v = v.reshape(T, Hkv, Dh)
-        # Per-head-dim q/k norm BEFORE RoPE (HF Qwen3Attention).
-        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        if cfg.use_qk_norm:
+            # Per-head-dim q/k norm BEFORE RoPE (HF Qwen3Attention).
+            q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
         # Linear RoPE scaling = base x factor (reference
         # rotary_embedding.rs:122-133), the long-context extension hook.
         theta = cfg.rope_theta * cfg.rope_scaling_factor
@@ -321,3 +344,22 @@ register_model_family(
         load_weights=load_weights,
     ),
 )
+
+# Llama / Mistral / Qwen2 share the block structure (pre-norm residual, GQA
+# + RoPE, SiLU-gated MLP); they differ only in the q/k-norm and qkv-bias
+# switches, so they reuse the same functional forward and loader.
+for _mt, _from_hf in (
+    ("llama", Qwen3Config.from_hf_llama),
+    ("mistral", Qwen3Config.from_hf_llama),
+    ("qwen2", Qwen3Config.from_hf_qwen2),
+):
+    register_model_family(
+        _mt,
+        ModelFamily(
+            name=_mt,
+            config_from_hf=_from_hf,
+            init_params=init_params,
+            forward=forward,
+            load_weights=load_weights,
+        ),
+    )

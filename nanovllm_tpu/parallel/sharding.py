@@ -33,6 +33,7 @@ def param_pspecs(tie_word_embeddings: bool = False) -> dict:
         "layers": {
             "input_ln": P(None, None),
             "qkv": P(None, None, AXIS_MODEL),       # column-parallel (packed)
+            "qkv_bias": P(None, AXIS_MODEL),        # follows qkv's out dim
             "q_norm": P(None, None),
             "k_norm": P(None, None),
             "o": P(None, AXIS_MODEL, None),          # row-parallel (+psum)
@@ -70,8 +71,10 @@ def param_pspecs_for(params: dict, tie_word_embeddings: bool = False) -> dict:
 
     specs = param_pspecs(tie_word_embeddings)
     out_layers = {}
-    for k, spec in specs["layers"].items():
-        leaf = params["layers"][k]
+    # Keyed off the params tree: model families include/omit optional
+    # leaves (q/k norms, qkv biases).
+    for k, leaf in params["layers"].items():
+        spec = specs["layers"][k]
         out_layers[k] = (
             _quantize_spec(spec, leaf) if isinstance(leaf, QuantizedTensor) else spec
         )

@@ -87,26 +87,43 @@ def load_qwen3_weights(cfg, model_dir: str, dtype=jnp.bfloat16) -> dict:
         ]
     )
 
+    layers = {
+        "input_ln": jnp.asarray(stack("model.layers.{i}.input_layernorm.weight"), dtype),
+        "qkv": jnp.asarray(qkv, dtype),
+        "o": jnp.asarray(
+            np.stack([get(f"model.layers.{i}.self_attn.o_proj.weight").T for i in range(L)]),
+            dtype,
+        ),
+        "post_ln": jnp.asarray(
+            stack("model.layers.{i}.post_attention_layernorm.weight"), dtype
+        ),
+        "gate_up": jnp.asarray(gate_up, dtype),
+        "down": jnp.asarray(
+            np.stack([get(f"model.layers.{i}.mlp.down_proj.weight").T for i in range(L)]),
+            dtype,
+        ),
+    }
+    if getattr(cfg, "use_qk_norm", True):
+        layers["q_norm"] = jnp.asarray(stack("model.layers.{i}.self_attn.q_norm.weight"), dtype)
+        layers["k_norm"] = jnp.asarray(stack("model.layers.{i}.self_attn.k_norm.weight"), dtype)
+    if getattr(cfg, "attention_bias", False):
+        # Packed qkv bias, concatenated like the weights (Qwen2-style).
+        qkv_bias = np.stack(
+            [
+                np.concatenate(
+                    [
+                        get(f"model.layers.{i}.self_attn.q_proj.bias"),
+                        get(f"model.layers.{i}.self_attn.k_proj.bias"),
+                        get(f"model.layers.{i}.self_attn.v_proj.bias"),
+                    ]
+                )
+                for i in range(L)
+            ]
+        )
+        layers["qkv_bias"] = jnp.asarray(qkv_bias, dtype)
     params = {
         "embedding": jnp.asarray(get("model.embed_tokens.weight"), dtype),
-        "layers": {
-            "input_ln": jnp.asarray(stack("model.layers.{i}.input_layernorm.weight"), dtype),
-            "qkv": jnp.asarray(qkv, dtype),
-            "q_norm": jnp.asarray(stack("model.layers.{i}.self_attn.q_norm.weight"), dtype),
-            "k_norm": jnp.asarray(stack("model.layers.{i}.self_attn.k_norm.weight"), dtype),
-            "o": jnp.asarray(
-                np.stack([get(f"model.layers.{i}.self_attn.o_proj.weight").T for i in range(L)]),
-                dtype,
-            ),
-            "post_ln": jnp.asarray(
-                stack("model.layers.{i}.post_attention_layernorm.weight"), dtype
-            ),
-            "gate_up": jnp.asarray(gate_up, dtype),
-            "down": jnp.asarray(
-                np.stack([get(f"model.layers.{i}.mlp.down_proj.weight").T for i in range(L)]),
-                dtype,
-            ),
-        },
+        "layers": layers,
         "final_ln": jnp.asarray(get("model.norm.weight"), dtype),
     }
     if not cfg.tie_word_embeddings:
@@ -146,8 +163,15 @@ def save_qwen3_weights_hf(params: dict, cfg, model_dir: str) -> None:
         out[f"{p}.self_attn.k_proj.weight"] = k.T.copy()
         out[f"{p}.self_attn.v_proj.weight"] = v.T.copy()
         out[f"{p}.self_attn.o_proj.weight"] = np.asarray(lay["o"][i], np.float32).T.copy()
-        out[f"{p}.self_attn.q_norm.weight"] = np.asarray(lay["q_norm"][i], np.float32)
-        out[f"{p}.self_attn.k_norm.weight"] = np.asarray(lay["k_norm"][i], np.float32)
+        if "q_norm" in lay:
+            out[f"{p}.self_attn.q_norm.weight"] = np.asarray(lay["q_norm"][i], np.float32)
+            out[f"{p}.self_attn.k_norm.weight"] = np.asarray(lay["k_norm"][i], np.float32)
+        if "qkv_bias" in lay:
+            b = np.asarray(lay["qkv_bias"][i], np.float32)
+            nq, nk = Hq * Dh, Hkv * Dh
+            out[f"{p}.self_attn.q_proj.bias"] = b[:nq]
+            out[f"{p}.self_attn.k_proj.bias"] = b[nq:nq + nk]
+            out[f"{p}.self_attn.v_proj.bias"] = b[nq + nk:]
         out[f"{p}.input_layernorm.weight"] = np.asarray(lay["input_ln"][i], np.float32)
         out[f"{p}.post_attention_layernorm.weight"] = np.asarray(lay["post_ln"][i], np.float32)
         out[f"{p}.mlp.gate_proj.weight"] = gate.T.copy()
