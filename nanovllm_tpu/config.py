@@ -122,11 +122,6 @@ class Config:
             raise ValueError(
                 f"kv_cache_dtype must be one of {_VALID_KV_DTYPES}, got {self.kv_cache_dtype!r}"
             )
-        if self.kv_cache_dtype == "int8":
-            raise ValueError(
-                "kv_cache_dtype='int8' requires per-block scale support "
-                "(not implemented yet) — use 'fp8' for compressed KV"
-            )
         if self.max_num_seqs <= 0:
             raise ValueError("max_num_seqs must be positive")
         if self.max_model_len <= 0:

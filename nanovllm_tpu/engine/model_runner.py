@@ -132,12 +132,14 @@ class ModelRunner:
             )
 
         # Pallas kernels: TPU backend only (CPU tests run the jnp oracle);
-        # head_dim must fill MXU/VPU lanes. TP>1 pending shard_map wrapping.
+        # head_dim must fill MXU/VPU lanes. TP>1 pending shard_map wrapping;
+        # INT8 KV (tuple caches with scales) pending kernel support.
         use_pallas = (
             config.use_pallas
             and jax.default_backend() == "tpu"
             and self.model_config.head_dim % 128 == 0
             and config.tensor_parallel_size == 1
+            and kv_dtype != jnp.int8
         )
         self.attn_impl = "pallas_decode" if use_pallas else "ref"
         self.prefill_attn_impl = "pallas_prefill" if use_pallas else "ref"

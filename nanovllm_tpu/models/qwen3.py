@@ -163,9 +163,18 @@ def create_kv_caches(
     kv_heads sits BEFORE block_size so one block DMA lands in VMEM as
     [Hkv, block_size, Dh] — the batched-matmul layout the Pallas kernels
     consume (reference keeps [blocks, block_size, kv_heads, head_dim],
-    model_runner.rs:364-396)."""
+    model_runner.rs:364-396).
+
+    dtype int8 → each cache is the tuple (data int8, per-row scale f32
+    [L, NB, Hkv, BS]); writers quantize with amax/127 per (token, head)."""
     Hkv = kv_heads or cfg.num_key_value_heads
     shape = (cfg.num_hidden_layers, num_blocks, Hkv, block_size, cfg.head_dim)
+    if dtype == jnp.int8:
+        # Distinct scale buffers: K and V are donated separately.
+        return (
+            (jnp.zeros(shape, jnp.int8), jnp.zeros(shape[:-1], jnp.float32)),
+            (jnp.zeros(shape, jnp.int8), jnp.zeros(shape[:-1], jnp.float32)),
+        )
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 

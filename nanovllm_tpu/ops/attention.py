@@ -29,18 +29,29 @@ _NEG_INF = -1e30
 
 
 def kv_cache_write(
-    cache: jax.Array, values: jax.Array, slot_mapping: jax.Array, layer_idx
-) -> jax.Array:
+    cache, values: jax.Array, slot_mapping: jax.Array, layer_idx
+):
     """Scatter per-token K or V vectors into one layer of the stacked cache.
 
     cache: [num_layers, num_blocks, kv_heads, block_size, head_dim] — the
       FULL stacked cache (it lives in the layer-scan carry so XLA keeps the
       scatter in place on the donated buffer instead of round-tripping the
-      whole cache through scan xs/ys copies).
+      whole cache through scan xs/ys copies). An INT8 cache is the tuple
+      (data int8, scale f32 [L, NB, Hkv, BS]): values are quantized
+      per-(token, head) with amax/127 scales.
     values: [T, kv_heads, head_dim]; slot_mapping: [T] = block*block_size +
       offset (-1 entries dropped); layer_idx: scalar int32.
     Reference capability: attention.rs:150-174 (store_kv_cache).
     """
+    if isinstance(cache, tuple):
+        data, scale_cache = cache
+        vf = values.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(vf), axis=-1)  # [T, Hkv]
+        scales = jnp.maximum(amax / 127.0, 1e-10)
+        q = jnp.clip(jnp.round(vf / scales[..., None]), -127, 127).astype(jnp.int8)
+        data = kv_cache_write(data, q, slot_mapping, layer_idx)
+        scale_cache = _kv_scale_write(scale_cache, scales, slot_mapping, layer_idx)
+        return data, scale_cache
     num_layers, num_blocks, kv_heads, block_size, head_dim = cache.shape
     T = values.shape[0]
     flat = cache.reshape(num_layers * num_blocks * kv_heads * block_size, head_dim)
@@ -61,10 +72,28 @@ def kv_cache_write(
     return flat.reshape(cache.shape)
 
 
+def _kv_scale_write(
+    scale_cache: jax.Array, scales: jax.Array, slot_mapping: jax.Array, layer_idx
+) -> jax.Array:
+    """Scatter per-(token, head) quantization scales into the
+    [L, NB, Hkv, BS] scale cache (mirrors kv_cache_write's slot math)."""
+    num_layers, num_blocks, kv_heads, block_size = scale_cache.shape
+    T = scales.shape[0]
+    flat = scale_cache.reshape(num_layers * num_blocks * kv_heads * block_size)
+    block = slot_mapping // block_size
+    offset = slot_mapping % block_size
+    base = (layer_idx * num_blocks + block) * (kv_heads * block_size) + offset
+    rows = base[:, None] + jnp.arange(kv_heads, dtype=jnp.int32)[None, :] * block_size
+    oob = jnp.int32(flat.shape[0])
+    rows = jnp.where(slot_mapping[:, None] >= 0, rows, oob)
+    flat = flat.at[rows.reshape(-1)].set(scales.reshape(T * kv_heads), mode="drop")
+    return flat.reshape(scale_cache.shape)
+
+
 def paged_attention_ref(
     q: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    k_cache,
+    v_cache,
     layer_idx,
     meta: AttentionMetadata,
     scale: float,
@@ -79,6 +108,10 @@ def paged_attention_ref(
     Returns [T, num_heads, head_dim].
     """
     T, num_heads, head_dim = q.shape
+    k_scales = v_scales = None
+    if isinstance(k_cache, tuple):
+        k_cache, k_scales = k_cache
+        v_cache, v_scales = v_cache
     _, num_blocks, kv_heads, block_size, _ = k_cache.shape
     S, max_blocks = meta.block_tables.shape
     Q = meta.q_gather.shape[1]
@@ -91,6 +124,10 @@ def paged_attention_ref(
     tables = jnp.clip(meta.block_tables, 0, num_blocks - 1)
     k = k_cache[layer_idx, tables]  # [S, B, Hkv, BS, Dh]
     v = v_cache[layer_idx, tables]
+    if k_scales is not None:
+        # INT8 KV: dequantize with the gathered per-row scales.
+        k = k.astype(jnp.float32) * k_scales[layer_idx, tables][..., None]
+        v = v.astype(jnp.float32) * v_scales[layer_idx, tables][..., None]
     k = jnp.einsum("sbhcd->shbcd", k).reshape(S, kv_heads, L, head_dim)
     v = jnp.einsum("sbhcd->shbcd", v).reshape(S, kv_heads, L, head_dim)
 

@@ -117,4 +117,12 @@ def shard_params(mesh: Mesh, params: dict, tie_word_embeddings: bool = False) ->
 
 def shard_kv_caches(mesh: Mesh, k_cache, v_cache) -> tuple:
     sh = NamedSharding(mesh, kv_cache_pspec())
-    return jax.device_put(k_cache, sh), jax.device_put(v_cache, sh)
+    # Scale planes of INT8 tuple caches drop the head_dim axis.
+    sh_scale = NamedSharding(mesh, P(None, None, AXIS_MODEL, None))
+
+    def place(c):
+        if isinstance(c, tuple):
+            return (jax.device_put(c[0], sh), jax.device_put(c[1], sh_scale))
+        return jax.device_put(c, sh)
+
+    return place(k_cache), place(v_cache)

@@ -51,8 +51,7 @@ def test_device_dtype_quant_whitelists(tmp_model_dir):
     with pytest.raises(ValueError, match="quantization"):
         make(tmp_model_dir, quantization="int2").validate()
     make(tmp_model_dir, quantization="int8", kv_cache_dtype="fp8").validate()
-    with pytest.raises(ValueError, match="int8"):
-        make(tmp_model_dir, kv_cache_dtype="int8").validate()  # needs scales
+    make(tmp_model_dir, kv_cache_dtype="int8").validate()
 
 
 def test_json_roundtrip(tmp_model_dir, tmp_path):

@@ -250,11 +250,29 @@ class TestKVCacheDtypes:
                             SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True))
         assert outs[0].num_completion_tokens == 8
 
-    def test_int8_kv_cache_rejected(self, tmp_model_dir):
-        import pytest as _pytest
+    def test_int8_kv_cache_generates_close_to_fp32(self, tmp_model_dir):
+        """INT8 KV (per-row scales) runs end-to-end and greedy decode stays
+        close to the fp32-KV decode on the same weights."""
+        import json
+        import os
 
-        from nanovllm_tpu import Config
+        from nanovllm_tpu import Config, SamplingParams
+        from nanovllm_tpu.engine.llm_engine import LLMEngine
 
-        cfg = Config(model_path=tmp_model_dir, kv_cache_dtype="int8")
-        with _pytest.raises(ValueError, match="int8"):
-            cfg.validate()
+        with open(os.path.join(tmp_model_dir, "config.json"), "w") as f:
+            json.dump(dict(model_type="qwen3", vocab_size=512, hidden_size=128,
+                           intermediate_size=256, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           head_dim=32, tie_word_embeddings=True), f)
+        outs = {}
+        for kvd in ("auto", "int8"):
+            cfg = Config(model_path=tmp_model_dir, dtype="float32",
+                         kv_cache_dtype=kvd, kvcache_block_size=16,
+                         num_kvcache_blocks=32, max_model_len=256,
+                         decode_window=4)
+            eng = LLMEngine(cfg, rng_seed=0)
+            o = eng.generate(["hello world"],
+                             SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True))
+            outs[kvd] = o[0].completion_token_ids
+        match = sum(a == b for a, b in zip(outs["auto"], outs["int8"]))
+        assert match >= 8, (match, outs)  # int8 KV tracks fp32 closely

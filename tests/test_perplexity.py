@@ -53,3 +53,14 @@ class TestPerplexity:
         # INT8 must track bf16 tightly even on random weights; INT4 looser.
         assert abs(report["int8"] - report["bf16"]) / report["bf16"] < 0.05
         assert abs(report["int4"] - report["bf16"]) / report["bf16"] < 0.30
+
+
+class TestKVQuantPerplexity:
+    def test_int8_kv_ppl_gate(self, tiny):
+        """INT8 KV cache perplexity tracks full-precision KV."""
+        import jax.numpy as jnp
+
+        cfg, params, texts = tiny
+        base = perplexity(cfg, params, texts, kv_dtype=jnp.float32)
+        got = perplexity(cfg, params, texts, kv_dtype=jnp.int8)
+        assert abs(got - base) / base < 0.05, (got, base)
