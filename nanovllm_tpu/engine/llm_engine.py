@@ -278,6 +278,18 @@ class LLMEngine:
             self._stream_text.pop(seq.seq_id, None)
             self.is_running = self.has_unfinished()
 
+    def abort_request(self, seq_id: int) -> bool:
+        """Cancel an in-flight request by id: removes it from the queues,
+        frees its KV blocks, and marks it ERROR/cancelled. In-flight device
+        windows containing it become zombies and are discarded at fetch.
+        Returns True if a live request was found."""
+        for q in (self.scheduler.running, self.scheduler.waiting):
+            for seq in list(q):
+                if seq.seq_id == seq_id:
+                    self._abort(seq)
+                    return True
+        return False
+
     def _abort(self, seq: Sequence) -> None:
         if seq.status in (SequenceStatus.FINISHED, SequenceStatus.ERROR):
             return

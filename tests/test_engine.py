@@ -276,3 +276,36 @@ class TestKVCacheDtypes:
             outs[kvd] = o[0].completion_token_ids
         match = sum(a == b for a, b in zip(outs["auto"], outs["int8"]))
         assert match >= 8, (match, outs)  # int8 KV tracks fp32 closely
+
+
+class TestAbort:
+    def test_abort_request_mid_flight(self, tmp_model_dir):
+        import json
+        import os
+
+        from nanovllm_tpu import Config, SamplingParams
+        from nanovllm_tpu.engine.llm_engine import LLMEngine
+
+        with open(os.path.join(tmp_model_dir, "config.json"), "w") as f:
+            json.dump(dict(model_type="qwen3", vocab_size=512, hidden_size=128,
+                           intermediate_size=256, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           head_dim=32, tie_word_embeddings=True), f)
+        cfg = Config(model_path=tmp_model_dir, dtype="float32",
+                     kvcache_block_size=16, num_kvcache_blocks=32,
+                     max_model_len=256, decode_window=4)
+        eng = LLMEngine(cfg, rng_seed=0)
+        keep = eng.add_request("keep going", SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True))
+        kill = eng.add_request("cancel me", SamplingParams(temperature=0.0, max_tokens=64, ignore_eos=True))
+        eng.step()
+        eng.step()  # both in flight
+        assert eng.abort_request(kill.seq_id)
+        while not eng.is_finished():
+            eng.step()
+        assert keep.num_completion_tokens == 12
+        from nanovllm_tpu.engine.sequence import SequenceStatus
+        assert kill.status == SequenceStatus.ERROR
+        assert kill.finish_reason == "cancelled"
+        st = eng.get_stats()
+        assert st.memory.free_blocks == st.memory.total_blocks
+        assert not eng.abort_request(kill.seq_id)  # already gone
