@@ -132,13 +132,13 @@ class ModelRunner:
             )
 
         # Pallas kernels: TPU backend only (CPU tests run the jnp oracle);
-        # head_dim must fill MXU/VPU lanes. TP>1 pending shard_map wrapping;
-        # INT8 KV (tuple caches with scales) pending kernel support.
+        # head_dim must fill MXU/VPU lanes; under TP the kernels run per
+        # head shard via shard_map (ops/pallas/sharded.py). INT8 KV (tuple
+        # caches with scales) pending kernel support.
         use_pallas = (
             config.use_pallas
             and jax.default_backend() == "tpu"
             and self.model_config.head_dim % 128 == 0
-            and config.tensor_parallel_size == 1
             and kv_dtype != jnp.int8
         )
         self.attn_impl = "pallas_decode" if use_pallas else "ref"
@@ -328,7 +328,7 @@ class ModelRunner:
         if fkey not in self._prefill_fns:
             self._prefill_fns[fkey] = build_prefill_step(
                 self.model_config, self.family.forward, flags,
-                attn_impl=self.prefill_attn_impl,
+                attn_impl=self.prefill_attn_impl, mesh=self.mesh,
             )
         self._note_shape(("prefill", fkey, T, S, MAXBLK, Q, samp[4].shape[1]))
 
@@ -367,7 +367,7 @@ class ModelRunner:
         if fk not in self._decode_fns:
             self._decode_fns[fk] = build_decode_window(
                 self.model_config, self.family.forward, self.block_size, K, flags,
-                attn_impl=self.attn_impl,
+                attn_impl=self.attn_impl, mesh=self.mesh,
             )
         self._note_shape(("decode", fk, S, MAXBLK, samp[4].shape[1]))
 

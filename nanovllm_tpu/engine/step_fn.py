@@ -27,7 +27,7 @@ from nanovllm_tpu.utils.metadata import AttentionMetadata
 
 
 def build_prefill_step(
-    cfg, forward_fn: Callable, flags: dict, attn_impl: str = "ref"
+    cfg, forward_fn: Callable, flags: dict, attn_impl: str = "ref", mesh=None
 ) -> Callable:
     """Fused forward + sample for a prefill batch (one token per sequence).
 
@@ -38,7 +38,8 @@ def build_prefill_step(
     def fn(params, k_cache, v_cache, tokens, meta, samp, key):
         temps, top_k, top_p, rep_pen, penalty_buf = samp
         logits, k_cache, v_cache = forward_fn(
-            cfg, params, k_cache, v_cache, tokens, meta, attn_impl=attn_impl
+            cfg, params, k_cache, v_cache, tokens, meta, attn_impl=attn_impl,
+            mesh=mesh,
         )
         toks = sample_logits(
             logits, key, temps, top_k, top_p, rep_pen, penalty_buf, **flags
@@ -55,6 +56,7 @@ def build_decode_window(
     num_steps: int,
     flags: dict,
     attn_impl: str = "ref",
+    mesh=None,
 ) -> Callable:
     """K self-feeding decode substeps in one jit.
 
@@ -94,7 +96,8 @@ def build_decode_window(
                 q_positions=jnp.where(valid, ctx - 1, -1)[:, None],
             )
             logits, k_cache, v_cache = forward_fn(
-                cfg, params, k_cache, v_cache, toks, meta, attn_impl=attn_impl
+                cfg, params, k_cache, v_cache, toks, meta, attn_impl=attn_impl,
+                mesh=mesh,
             )
             newtok = sample_logits(
                 logits,

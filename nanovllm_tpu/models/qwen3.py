@@ -218,6 +218,7 @@ def forward(
     meta: AttentionMetadata,
     attn_impl: str = "ref",
     all_logits: bool = False,
+    mesh=None,
 ) -> tuple:
     """One model step over a flat token batch (prefill and decode unified).
 
@@ -264,25 +265,47 @@ def forward(
         if attn_impl == "pallas_decode":
             # Attention reads the caches + an in-VMEM patch of this step's
             # K/V; the commit kernel writes the row to HBM concurrently —
-            # no XLA scatter in the step.
-            from nanovllm_tpu.ops.pallas.paged_attention import (
-                kv_cache_commit,
-                paged_attention_decode,
-            )
+            # no XLA scatter in the step. Under TP the kernels run per head
+            # shard via shard_map (attention is head-parallel; no
+            # collectives inside). Off-TPU backends run the kernels in
+            # interpret mode (tests).
+            interp = jax.default_backend() != "tpu"
+            if mesh is not None:
+                from nanovllm_tpu.ops.pallas.sharded import (
+                    sharded_kv_cache_commit,
+                    sharded_paged_attention_decode,
+                )
 
-            attn = paged_attention_decode(
-                q, k, v, kc, vc, layer_idx, meta.block_tables,
-                meta.context_lens, scale=scale,
-            )
-            kc, vc = kv_cache_commit(
-                k, v, kc, vc, layer_idx, meta.block_tables, meta.context_lens
-            )
+                attn = sharded_paged_attention_decode(
+                    mesh, q, k, v, kc, vc, layer_idx, meta.block_tables,
+                    meta.context_lens, scale=scale, interpret=interp,
+                )
+                kc, vc = sharded_kv_cache_commit(
+                    mesh, k, v, kc, vc, layer_idx, meta.block_tables,
+                    meta.context_lens, interpret=interp,
+                )
+            else:
+                from nanovllm_tpu.ops.pallas.paged_attention import (
+                    kv_cache_commit,
+                    paged_attention_decode,
+                )
+
+                attn = paged_attention_decode(
+                    q, k, v, kc, vc, layer_idx, meta.block_tables,
+                    meta.context_lens, scale=scale, interpret=interp,
+                )
+                kc, vc = kv_cache_commit(
+                    k, v, kc, vc, layer_idx, meta.block_tables,
+                    meta.context_lens, interpret=interp,
+                )
         elif attn_impl == "pallas_prefill":
             # Whole-block DMA commit of this batch's K/V (the XLA row
             # scatter costs tens of ms at prefill scale), then the flash
             # varlen kernel reads history + new tokens from the cache.
             from nanovllm_tpu.ops.pallas.flash_prefill import paged_attention_prefill
             from nanovllm_tpu.ops.pallas.prefill_commit import prefill_kv_commit
+
+            interp = jax.default_backend() != "tpu"
 
             S, Qn = meta.q_gather.shape
             BSz = kc.shape[3]
@@ -297,16 +320,35 @@ def forward(
 
             qlen = jnp.sum(meta.q_positions >= 0, axis=1)
             qstart = jnp.where(qlen > 0, meta.q_positions[:, 0], 0)
-            kc, vc = prefill_kv_commit(
-                to_grid(k), to_grid(v), kc, vc, layer_idx,
-                meta.block_tables, meta.context_lens,
-                (qstart // BSz).astype(jnp.int32),
-            )
-            attn = paged_attention_prefill(
-                q, kc, vc, layer_idx, meta.block_tables, meta.context_lens,
-                meta.q_gather, meta.q_positions, meta.token_seq,
-                meta.token_qcol, scale=scale,
-            )
+            cblk = (qstart // BSz).astype(jnp.int32)
+            if mesh is not None:
+                from nanovllm_tpu.ops.pallas.sharded import (
+                    sharded_paged_attention_prefill,
+                    sharded_prefill_kv_commit,
+                )
+
+                kc, vc = sharded_prefill_kv_commit(
+                    mesh, to_grid(k), to_grid(v), kc, vc, layer_idx,
+                    meta.block_tables, meta.context_lens, cblk,
+                    interpret=interp,
+                )
+                attn = sharded_paged_attention_prefill(
+                    mesh, q, kc, vc, layer_idx, meta.block_tables,
+                    meta.context_lens, meta.q_gather, meta.q_positions,
+                    meta.token_seq, meta.token_qcol, scale=scale,
+                    interpret=interp,
+                )
+            else:
+                kc, vc = prefill_kv_commit(
+                    to_grid(k), to_grid(v), kc, vc, layer_idx,
+                    meta.block_tables, meta.context_lens, cblk,
+                    interpret=interp,
+                )
+                attn = paged_attention_prefill(
+                    q, kc, vc, layer_idx, meta.block_tables, meta.context_lens,
+                    meta.q_gather, meta.q_positions, meta.token_seq,
+                    meta.token_qcol, scale=scale, interpret=interp,
+                )
         else:
             kc = kv_cache_write(kc, k, meta.slot_mapping, layer_idx)
             vc = kv_cache_write(vc, v, meta.slot_mapping, layer_idx)

@@ -1,0 +1,119 @@
+"""shard_map wrappers: Pallas kernels under tensor parallelism.
+
+pallas_call doesn't auto-partition: under a mesh, XLA would gather sharded
+operands onto every device. Attention is embarrassingly parallel over
+(kv-)heads — queries, new K/V, and the caches are all sharded on their head
+dims over "model" — so each shard runs the SAME kernel on its local heads
+with no collectives at all. shard_map makes that explicit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.experimental.shard_map as _shard_map_mod
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from nanovllm_tpu.parallel.mesh import AXIS_MODEL
+
+_REP = P()
+
+
+def sharded_paged_attention_decode(mesh: Mesh, q, k_new, v_new, k_cache,
+                                   v_cache, layer_idx, block_tables,
+                                   context_lens, *, scale: float,
+                                   interpret: bool = False):
+    """paged_attention_decode with heads sharded over the model axis."""
+    from nanovllm_tpu.ops.pallas.paged_attention import paged_attention_decode
+
+    fn = partial(paged_attention_decode, scale=scale, interpret=interpret)
+    return _shard_map_mod.shard_map(
+        lambda *a: fn(*a),
+        mesh=mesh,
+        in_specs=(
+            P(None, AXIS_MODEL, None),                 # q [S, Hq, Dh]
+            P(None, AXIS_MODEL, None),                 # k_new [S, Hkv, Dh]
+            P(None, AXIS_MODEL, None),                 # v_new
+            P(None, None, AXIS_MODEL, None, None),     # k_cache
+            P(None, None, AXIS_MODEL, None, None),     # v_cache
+            _REP,                                      # layer_idx
+            _REP,                                      # block_tables
+            _REP,                                      # context_lens
+        ),
+        out_specs=P(None, AXIS_MODEL, None),
+        check_rep=False,
+    )(q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables, context_lens)
+
+
+def sharded_kv_cache_commit(mesh: Mesh, k_new, v_new, k_cache, v_cache,
+                            layer_idx, block_tables, context_lens, *,
+                            interpret: bool = False):
+    from nanovllm_tpu.ops.pallas.paged_attention import kv_cache_commit
+
+    fn = partial(kv_cache_commit, interpret=interpret)
+    return _shard_map_mod.shard_map(
+        lambda *a: fn(*a),
+        mesh=mesh,
+        in_specs=(
+            P(None, AXIS_MODEL, None),
+            P(None, AXIS_MODEL, None),
+            P(None, None, AXIS_MODEL, None, None),
+            P(None, None, AXIS_MODEL, None, None),
+            _REP, _REP, _REP,
+        ),
+        out_specs=(
+            P(None, None, AXIS_MODEL, None, None),
+            P(None, None, AXIS_MODEL, None, None),
+        ),
+        check_rep=False,
+    )(k_new, v_new, k_cache, v_cache, layer_idx, block_tables, context_lens)
+
+
+def sharded_paged_attention_prefill(mesh: Mesh, q, k_cache, v_cache,
+                                    layer_idx, block_tables, context_lens,
+                                    q_gather, q_positions, token_seq,
+                                    token_qcol, *, scale: float,
+                                    interpret: bool = False):
+    from nanovllm_tpu.ops.pallas.flash_prefill import paged_attention_prefill
+
+    fn = partial(paged_attention_prefill, scale=scale, interpret=interpret)
+    return _shard_map_mod.shard_map(
+        lambda *a: fn(*a),
+        mesh=mesh,
+        in_specs=(
+            P(None, AXIS_MODEL, None),                 # q [T, Hq, Dh]
+            P(None, None, AXIS_MODEL, None, None),
+            P(None, None, AXIS_MODEL, None, None),
+            _REP, _REP, _REP, _REP, _REP, _REP, _REP,
+        ),
+        out_specs=P(None, AXIS_MODEL, None),
+        check_rep=False,
+    )(q, k_cache, v_cache, layer_idx, block_tables, context_lens,
+      q_gather, q_positions, token_seq, token_qcol)
+
+
+def sharded_prefill_kv_commit(mesh: Mesh, k_grid, v_grid, k_cache, v_cache,
+                              layer_idx, block_tables, context_lens,
+                              cached_blocks, *, interpret: bool = False):
+    from nanovllm_tpu.ops.pallas.prefill_commit import prefill_kv_commit
+
+    fn = partial(prefill_kv_commit, interpret=interpret)
+    return _shard_map_mod.shard_map(
+        lambda *a: fn(*a),
+        mesh=mesh,
+        in_specs=(
+            P(None, AXIS_MODEL, None, None),           # k_grid [S, Hkv, Q, Dh]
+            P(None, AXIS_MODEL, None, None),
+            P(None, None, AXIS_MODEL, None, None),
+            P(None, None, AXIS_MODEL, None, None),
+            _REP, _REP, _REP, _REP,
+        ),
+        out_specs=(
+            P(None, None, AXIS_MODEL, None, None),
+            P(None, None, AXIS_MODEL, None, None),
+        ),
+        check_rep=False,
+    )(k_grid, v_grid, k_cache, v_cache, layer_idx, block_tables,
+      context_lens, cached_blocks)
