@@ -309,3 +309,68 @@ class TestAbort:
         st = eng.get_stats()
         assert st.memory.free_blocks == st.memory.total_blocks
         assert not eng.abort_request(kill.seq_id)  # already gone
+
+
+class TestAsyncPreemptionStress:
+    def test_preemption_storm_with_pipeline(self, tmp_model_dir):
+        """Many sequences over a tiny block pool with the async pipeline:
+        preemptions must recover via re-prefill (keeping their in-flight
+        tokens), everything finishes, and no blocks leak."""
+        import json
+        import os
+
+        from nanovllm_tpu import Config, SamplingParams
+        from nanovllm_tpu.engine.llm_engine import LLMEngine
+        from nanovllm_tpu.engine.sequence import SequenceStatus
+
+        with open(os.path.join(tmp_model_dir, "config.json"), "w") as f:
+            json.dump(dict(model_type="qwen3", vocab_size=512, hidden_size=128,
+                           intermediate_size=256, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           head_dim=32, tie_word_embeddings=True), f)
+        cfg = Config(model_path=tmp_model_dir, dtype="float32",
+                     kvcache_block_size=16, num_kvcache_blocks=10,
+                     max_num_seqs=8, max_model_len=160, decode_window=4,
+                     pipeline_depth=2)
+        eng = LLMEngine(cfg, rng_seed=0)
+        params = SamplingParams(temperature=0.0, max_tokens=40, ignore_eos=True)
+        seqs = [eng.add_request(f"prompt number {i} " * 4, params) for i in range(6)]
+        steps = 0
+        while not eng.is_finished():
+            eng.step()
+            steps += 1
+            assert steps < 500, "livelock"
+        assert all(s.status == SequenceStatus.FINISHED for s in seqs)
+        assert all(s.num_completion_tokens == 40 for s in seqs)
+        assert all(s.num_pending == 0 for s in seqs)
+        st = eng.get_stats()
+        assert st.scheduler.num_preemptions > 0, "storm did not trigger preemption"
+        assert st.memory.free_blocks == st.memory.total_blocks
+
+    def test_deterministic_vs_sync_mode(self, tmp_model_dir):
+        """Async pipelined scheduling must not change greedy outputs vs the
+        reference-style synchronous stepping."""
+        import json
+        import os
+
+        from nanovllm_tpu import Config, SamplingParams
+        from nanovllm_tpu.engine.llm_engine import LLMEngine
+
+        with open(os.path.join(tmp_model_dir, "config.json"), "w") as f:
+            json.dump(dict(model_type="qwen3", vocab_size=512, hidden_size=128,
+                           intermediate_size=256, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           head_dim=32, tie_word_embeddings=True), f)
+        outs = {}
+        for async_mode in (False, True):
+            cfg = Config(model_path=tmp_model_dir, dtype="float32",
+                         async_scheduling=async_mode, kvcache_block_size=16,
+                         num_kvcache_blocks=64, max_model_len=256,
+                         decode_window=4)
+            eng = LLMEngine(cfg, rng_seed=0)
+            o = eng.generate(
+                ["one two three", "four five"],
+                SamplingParams(temperature=0.0, max_tokens=20, ignore_eos=True),
+            )
+            outs[async_mode] = [x.completion_token_ids for x in o]
+        assert outs[False] == outs[True]
