@@ -17,7 +17,7 @@ the token budget.
 from __future__ import annotations
 
 from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Deque, List, Optional, Tuple
 
 from nanovllm_tpu.config import Config

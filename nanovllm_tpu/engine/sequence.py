@@ -13,7 +13,7 @@ from __future__ import annotations
 import enum
 import itertools
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 from nanovllm_tpu.engine.sampling_params import SamplingParams

@@ -16,7 +16,6 @@ bulk and truncates anything generated past a stop condition.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

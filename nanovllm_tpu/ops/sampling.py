@@ -13,7 +13,6 @@ graph for batches that don't need it; the runner picks the variant per batch.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ it also covers the KV-write path of whatever kv_cache_dtype is configured).
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
