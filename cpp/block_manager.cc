@@ -179,6 +179,33 @@ struct BlockManager {
     }
   }
 
+  // Drop a block's prefix-cache identity. Used when freeing blocks whose KV
+  // was never computed: keeping the hash would let a later same-prefix
+  // allocate cache-hit uninitialized KV (silently wrong output).
+  void wipe_identity(int64_t id) {
+    Block& b = blocks[id];
+    if (b.has_hash) {
+      auto it = hash_to_block.find(b.hash);
+      if (it != hash_to_block.end() && it->second == id) hash_to_block.erase(it);
+    }
+    b.has_hash = false;
+    b.hash = 0;
+    b.tokens.clear();
+  }
+
+  // Deallocate a sequence whose prefill never ran (scheduler token-budget
+  // undo / allocate rollback). Blocks dropping to ref 0 lose their hash
+  // identity; blocks still shared with live sequences keep theirs.
+  void undo_allocate(const int64_t* table, int64_t n) {
+    for (int64_t i = n - 1; i >= 0; --i) {
+      Block& b = blocks[table[i]];
+      if (--b.ref_count == 0) {
+        wipe_identity(table[i]);
+        free_block(table[i]);
+      }
+    }
+  }
+
   // Prefix-cached allocation over the whole prompt. Returns 0 on success
   // (out_table[ceil(n/bs)] filled, *out_cached set), -1 on exhaustion
   // (fully rolled back).
@@ -223,8 +250,8 @@ struct BlockManager {
         out_table[filled++] = hit;
         continue;
       }
-      if (free_list.empty()) {  // roll back
-        deallocate(out_table, filled);
+      if (free_list.empty()) {  // roll back; wipe never-computed identities
+        undo_allocate(out_table, filled);
         return -1;
       }
       int64_t id = recycle();
@@ -275,7 +302,12 @@ struct BlockManager {
       const int64_t* tok = tokens + idx * block_size;
       int64_t len = std::min(block_size, n_tokens - idx * block_size);
       b.tokens.assign(tok, tok + len);
-      if (len == block_size && prefix_caching) {
+      // Only hash blocks whose KV is fully committed on device: the final
+      // token of a decode window is the NEXT window's input, whose KV row
+      // may never be written (preempt/abort/stop), so a block is hashable
+      // only when covered by the first n_tokens-1 tokens.
+      if (len == block_size && prefix_caching &&
+          (idx + 1) * block_size < n_tokens) {
         uint64_t prefix = 0;
         if (idx > 0) {
           const Block& prev = blocks[table[idx - 1]];
@@ -323,6 +355,10 @@ int64_t nvbm_allocate(void* h, const int64_t* tokens, int64_t n_tokens,
 
 void nvbm_deallocate(void* h, const int64_t* table, int64_t n) {
   static_cast<BlockManager*>(h)->deallocate(table, n);
+}
+
+void nvbm_undo_allocate(void* h, const int64_t* table, int64_t n) {
+  static_cast<BlockManager*>(h)->undo_allocate(table, n);
 }
 
 int64_t nvbm_reserve(void* h, int64_t* out_new, int64_t need) {

@@ -131,6 +131,17 @@ class BlockManager:
         # Keep hash/token_ids: block stays prefix-cache reusable until recycled.
         self.free_block_ids[block_id] = None
 
+    def _wipe_identity(self, block_id: int) -> None:
+        """Drop a block's prefix-cache identity (hash registration + token
+        contents). Used when freeing blocks whose KV was never computed —
+        keeping the hash would let a later same-prefix allocate cache-hit
+        uninitialized KV (silently wrong output)."""
+        block = self.blocks[block_id]
+        if block.hash is not None and self.hash_to_block_id.get(block.hash) == block_id:
+            del self.hash_to_block_id[block.hash]
+        block.hash = None
+        block.token_ids = []
+
     # ------------------------------------------------------------------
     # Prefill allocation (reference: block_manager.rs:152-219)
     # ------------------------------------------------------------------
@@ -183,7 +194,10 @@ class BlockManager:
                 continue
 
             if not self.free_block_ids:
-                # Roll back everything allocated so far.
+                # Roll back everything allocated so far. Freshly-created
+                # blocks never had their KV computed (prefill didn't run),
+                # so their hash identity must be wiped or a later
+                # same-prefix allocate would cache-hit poisoned blocks.
                 allocated = list(seq.block_table)
                 seq.block_table = []
                 seq.num_cached_tokens = 0
@@ -191,6 +205,7 @@ class BlockManager:
                     blk = self.blocks[bid]
                     blk.ref_count -= 1
                     if blk.ref_count == 0:
+                        self._wipe_identity(bid)
                         self._free_block(bid)
                 raise RuntimeError("out of KV-cache blocks during allocate")
 
@@ -216,6 +231,23 @@ class BlockManager:
             block = self.blocks[bid]
             block.ref_count -= 1
             if block.ref_count == 0:
+                self._free_block(bid)
+        seq.block_table = []
+        seq.num_cached_tokens = 0
+
+    def undo_allocate(self, seq: Sequence) -> None:
+        """Deallocate a sequence whose prefill never ran (e.g. the scheduler
+        admitted it past the block check but it overflowed the token budget).
+        Unlike `deallocate`, blocks dropping to ref 0 lose their hash
+        identity: their KV was never computed, so a later same-prefix
+        allocate must NOT cache-hit them (ADVICE r1 high: silently wrong
+        output). Blocks still shared with live sequences keep theirs — those
+        were genuine hits whose KV is real."""
+        for bid in reversed(seq.block_table):
+            block = self.blocks[bid]
+            block.ref_count -= 1
+            if block.ref_count == 0:
+                self._wipe_identity(bid)
                 self._free_block(bid)
         seq.block_table = []
         seq.num_cached_tokens = 0
@@ -274,7 +306,18 @@ class BlockManager:
                 continue
             tokens = seq.get_block_tokens(idx)
             block.token_ids = list(tokens)
-            if len(tokens) == self.block_size and self.enable_prefix_caching:
+            # Only hash blocks whose KV is fully committed on device. The
+            # final token of a decode window is the NEXT window's input —
+            # its KV row is written by that window's first substep, which
+            # may never dispatch (preempt/abort/stop). Hashing it would let
+            # a prefix hit attend a missing row (ADVICE r1 medium), so a
+            # block is hashable only when covered by the first len(seq)-1
+            # tokens.
+            if (
+                len(tokens) == self.block_size
+                and self.enable_prefix_caching
+                and (idx + 1) * self.block_size < len(seq)
+            ):
                 if idx > 0:
                     prev = self.blocks[seq.block_table[idx - 1]]
                     prefix_hash = prev.hash if prev.hash is not None else 0

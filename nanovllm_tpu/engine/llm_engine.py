@@ -151,11 +151,7 @@ class LLMEngine:
         reference executes and waits inside each step."""
         t0 = time.monotonic()
         outputs: List[SequenceOutput] = []
-        # Repetition-penalty sampling packs confirmed token history into
-        # device buffers at dispatch: flush the pipeline first.
-        if self._pending and (
-            not self.config.async_scheduling or self._needs_token_history()
-        ):
+        if self._pending and not self.config.async_scheduling:
             while self._pending:
                 self._drain_oldest(outputs)
 
@@ -186,18 +182,12 @@ class LLMEngine:
     def _drain_oldest(self, outputs: List[SequenceOutput]) -> None:
         handle = self._pending.pop(0)
         token_windows = self.model_runner.fetch(handle)
-        self.perf.total_generated_tokens += sum(len(w) for w in token_windows)
         finished = self.scheduler.postprocess_window(handle.seqs, token_windows, handle.k)
+        # Truthful tokens/s numerator: only tokens actually appended to live
+        # sequences (zombie windows / post-stop tokens excluded).
+        self.perf.total_generated_tokens = self.scheduler.total_accepted_tokens
         for seq in finished:
             outputs.append(seq.create_output(self._detokenize(seq)))
-
-    def _needs_token_history(self) -> bool:
-        for q in (self.scheduler.running, self.scheduler.waiting):
-            for s in q:
-                p = s.sampling_params.repetition_penalty
-                if p is not None and p != 1.0:
-                    return True
-        return False
 
     def is_finished(self) -> bool:
         """True when no request is queued, running, or in flight."""

@@ -13,6 +13,10 @@ from __future__ import annotations
 from dataclasses import dataclass, replace
 from typing import Optional
 
+# Mirrors ops.sampling.TOP_K_MAX (kept literal so this module stays
+# importable without jax; tests assert the two agree).
+_TOP_K_MAX = 256
+
 
 @dataclass(frozen=True)
 class SamplingParams:
@@ -22,7 +26,14 @@ class SamplingParams:
     top_p: Optional[float] = None
     top_k: Optional[int] = None
     repetition_penalty: Optional[float] = None
-    # TPU extension: explicit per-request seed for reproducible sampling.
+    # OpenAI-style penalties over GENERATED tokens (intended reference
+    # surface per tests/unit/sampling_test.rs:60-84): logits[t] -=
+    # frequency_penalty * count(t) + presence_penalty * [count(t) > 0].
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+    # Per-request seed: the sampled sequence is reproducible across batch
+    # compositions, decode windows, and pipeline depths (the Gumbel noise
+    # derives from fold_in(PRNGKey(seed), tokens_generated_so_far)).
     seed: Optional[int] = None
 
     # --- builders (reference: sampling_params.rs:43-84) ---
@@ -44,6 +55,12 @@ class SamplingParams:
     def with_repetition_penalty(self, p: float) -> "SamplingParams":
         return replace(self, repetition_penalty=p)
 
+    def with_frequency_penalty(self, p: float) -> "SamplingParams":
+        return replace(self, frequency_penalty=p)
+
+    def with_presence_penalty(self, p: float) -> "SamplingParams":
+        return replace(self, presence_penalty=p)
+
     def with_seed(self, s: int) -> "SamplingParams":
         return replace(self, seed=s)
 
@@ -61,7 +78,20 @@ class SamplingParams:
             raise ValueError(f"top_p must be in (0, 1], got {self.top_p}")
         if self.top_k is not None and self.top_k <= 0:
             raise ValueError(f"top_k must be positive, got {self.top_k}")
+        if self.top_k is not None and self.top_k > _TOP_K_MAX:
+            # The device sampler bounds per-row k statically; reject rather
+            # than silently clamp (the request would get different sampling
+            # than asked for).
+            raise ValueError(f"top_k must be <= {_TOP_K_MAX}, got {self.top_k}")
         if self.repetition_penalty is not None and self.repetition_penalty <= 0.0:
             raise ValueError(
                 f"repetition_penalty must be positive, got {self.repetition_penalty}"
+            )
+        if not -2.0 <= self.frequency_penalty <= 2.0:
+            raise ValueError(
+                f"frequency_penalty must be in [-2, 2], got {self.frequency_penalty}"
+            )
+        if not -2.0 <= self.presence_penalty <= 2.0:
+            raise ValueError(
+                f"presence_penalty must be in [-2, 2], got {self.presence_penalty}"
             )

@@ -87,6 +87,10 @@ class Scheduler:
         self.num_decode_batches = 0
         self.total_prefill_tokens = 0
         self.total_decode_tokens = 0
+        # Tokens actually appended to live sequences in postprocess (zombie
+        # windows and tokens discarded past stop conditions excluded) — the
+        # truthful numerator for tokens/s.
+        self.total_accepted_tokens = 0
 
     # ------------------------------------------------------------------
     # Admission (reference: scheduler.rs:93-100)
@@ -169,8 +173,11 @@ class Scheduler:
             self.block_manager.allocate(seq)
             new_tokens = len(seq) - seq.num_cached_tokens
             if batched_tokens + new_tokens > self.max_num_batched_tokens and scheduled:
-                # Doesn't fit this batch; undo and stop (it stays first in line).
-                self.block_manager.deallocate(seq)
+                # Doesn't fit this batch; undo and stop (it stays first in
+                # line). undo_allocate (not deallocate): the fresh blocks'
+                # KV was never computed, so their hash identity must die
+                # with them or the next allocate would cache-hit poison.
+                self.block_manager.undo_allocate(seq)
                 break
             self.waiting.popleft()
             batched_tokens += new_tokens
@@ -267,6 +274,7 @@ class Scheduler:
             stopped = False
             for token_id in window_tokens:
                 seq.append_token(int(token_id))
+                self.total_accepted_tokens += 1
                 if seq.should_stop(self.eos_token_id, self.max_model_len):
                     stopped = True
                     break

@@ -21,7 +21,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from nanovllm_tpu.ops.sampling import sample_logits
+from nanovllm_tpu.ops.sampling import SamplingState, append_to_ring, sample_logits
 from nanovllm_tpu.utils.metadata import AttentionMetadata
 
 
@@ -30,19 +30,16 @@ def build_prefill_step(
 ) -> Callable:
     """Fused forward + sample for a prefill batch (one token per sequence).
 
-    Returns fn(params, kc, vc, tokens, meta, samp, key) -> (tokens [S], kc, vc)
-    where samp = (temps, top_k, top_p, rep_pen, penalty_buf).
+    Returns fn(params, kc, vc, tokens, meta, samp: SamplingState, key)
+            -> (tokens [S], kc, vc)
     """
 
-    def fn(params, k_cache, v_cache, tokens, meta, samp, key):
-        temps, top_k, top_p, rep_pen, penalty_buf = samp
+    def fn(params, k_cache, v_cache, tokens, meta, samp: SamplingState, key):
         logits, k_cache, v_cache = forward_fn(
             cfg, params, k_cache, v_cache, tokens, meta, attn_impl=attn_impl,
             mesh=mesh,
         )
-        toks = sample_logits(
-            logits, key, temps, top_k, top_p, rep_pen, penalty_buf, **flags
-        )
+        toks = sample_logits(logits, key, samp, **flags)
         return toks, k_cache, v_cache
 
     return jax.jit(fn, donate_argnums=(1, 2))
@@ -60,7 +57,7 @@ def build_decode_window(
     """K self-feeding decode substeps in one jit.
 
     Returns fn(params, kc, vc, last_tokens [S], block_tables [S, M],
-               context_lens [S], samp, cursor [S], key)
+               context_lens [S], samp: SamplingState, key)
             -> (tokens [K, S], kc, vc)
 
     context_lens[i] = len(seq i) at dispatch (so substep 0 writes KV at
@@ -68,15 +65,16 @@ def build_decode_window(
     append protocol). Padded rows have context_lens == 0; their slots are -1
     (dropped) and their sampled tokens are garbage the host ignores.
     """
+    track_history = any(
+        flags.get(f) for f in ("use_penalty", "use_freq_pres", "use_seeds")
+    )
 
-    def fn(params, k_cache, v_cache, last_tokens, block_tables, context_lens, samp, cursor, key):
-        temps, top_k, top_p, rep_pen, penalty_buf = samp
+    def fn(params, k_cache, v_cache, last_tokens, block_tables, context_lens, samp, key):
         S, M = block_tables.shape
-        P = penalty_buf.shape[1]
         rows = jnp.arange(S, dtype=jnp.int32)
 
         def substep(carry, k_idx):
-            k_cache, v_cache, toks, ctx, pbuf, cur = carry
+            k_cache, v_cache, toks, ctx, state = carry
             valid = ctx > 0
             pos = jnp.maximum(ctx - 1, 0)  # position written this substep
             blk_idx = jnp.clip(pos // block_size, 0, M - 1)
@@ -99,18 +97,14 @@ def build_decode_window(
                 mesh=mesh,
             )
             newtok = sample_logits(
-                logits,
-                jax.random.fold_in(key, k_idx),
-                temps, top_k, top_p, rep_pen, pbuf,
-                **flags,
+                logits, jax.random.fold_in(key, k_idx), state, **flags
             )
-            if flags.get("use_penalty"):
-                pbuf = pbuf.at[rows, cur % P].set(newtok)
-                cur = cur + 1
+            if track_history:
+                state = append_to_ring(state, newtok, valid)
             ctx = jnp.where(valid, ctx + 1, ctx)
-            return (k_cache, v_cache, newtok, ctx, pbuf, cur), newtok
+            return (k_cache, v_cache, newtok, ctx, state), newtok
 
-        init = (k_cache, v_cache, last_tokens, context_lens, penalty_buf, cursor)
+        init = (k_cache, v_cache, last_tokens, context_lens, samp)
         (k_cache, v_cache, *_), toks_seq = jax.lax.scan(
             substep, init, jnp.arange(num_steps, dtype=jnp.int32)
         )

@@ -73,6 +73,7 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.nvbm_allocate.restype = ctypes.c_int64
         lib.nvbm_allocate.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64, I64P, I64P]
         lib.nvbm_deallocate.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64]
+        lib.nvbm_undo_allocate.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64]
         lib.nvbm_reserve.restype = ctypes.c_int64
         lib.nvbm_reserve.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64]
         lib.nvbm_register_progress.argtypes = [
@@ -140,6 +141,15 @@ class NativeBlockManager:
     def deallocate(self, seq) -> None:
         if seq.block_table:
             self._lib.nvbm_deallocate(self._h, _arr(seq.block_table), len(seq.block_table))
+        seq.block_table = []
+        seq.num_cached_tokens = 0
+
+    def undo_allocate(self, seq) -> None:
+        """Deallocate a never-prefilled sequence, wiping the hash identity
+        of blocks whose KV was never computed (see engine.block_manager
+        .BlockManager.undo_allocate)."""
+        if seq.block_table:
+            self._lib.nvbm_undo_allocate(self._h, _arr(seq.block_table), len(seq.block_table))
         seq.block_table = []
         seq.num_cached_tokens = 0
 

@@ -3,69 +3,127 @@
 Capability parity with the reference Sampler (src/layers/sampler.rs:26-254):
 greedy argmax, temperature scaling, top-k, top-p (nucleus), and multinomial
 sampling via the Gumbel-max trick — but computed for the whole batch inside
-one jitted function instead of a per-sequence host loop. Additionally
-implements repetition penalty for real (the reference declares the field but
-never applies it, sampler.rs:269-271).
+one jitted function instead of a per-sequence host loop. Beyond the
+reference's declared-but-dead fields it actually implements:
+- repetition penalty (declared, never applied: sampler.rs:269-271),
+- frequency/presence penalties (intended surface per
+  reference tests/unit/sampling_test.rs:60-84),
+- per-request seeds for reproducible sampling independent of batch
+  composition and pipeline depth.
 
-Static `use_*` flags keep the expensive full-vocab sort out of the compiled
+Static `use_*` flags keep the expensive full-vocab work out of the compiled
 graph for batches that don't need it; the runner picks the variant per batch.
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 _NEG_INF = -1e30
-# Static cap for per-sequence top-k (k is dynamic per request, bounded here).
+# Static cap for per-sequence top-k (k is dynamic per request, bounded here;
+# SamplingParams.validate rejects larger values — never silently clamped).
 TOP_K_MAX = 256
+
+
+class SamplingState(NamedTuple):
+    """Per-batch sampling inputs, packed as a pytree.
+
+    The token ring buffer (`buf`/`gen_mask`/`cursor`) carries the recent
+    token history each penalty needs; the decode window appends sampled
+    tokens to it ON DEVICE, and the runner merges still-in-flight window
+    outputs into it at dispatch — so penalties never force a pipeline flush.
+    """
+
+    temps: jax.Array       # [S] f32; 0 → greedy
+    top_k: jax.Array       # [S] i32; 0 disables per row
+    top_p: jax.Array       # [S] f32; 1.0 disables per row
+    rep_pen: jax.Array     # [S] f32; 1.0 disables per row
+    freq_pen: jax.Array    # [S] f32; 0.0 disables per row
+    pres_pen: jax.Array    # [S] f32; 0.0 disables per row
+    buf: jax.Array         # [S, P] i32 recent-token ring, -1 padded
+    gen_mask: jax.Array    # [S, P] bool — slot holds a GENERATED token
+    cursor: jax.Array      # [S] i32 ring write position (tokens written so far)
+    seeds: jax.Array       # [S] u32 per-request seed (0 when unset)
+    has_seed: jax.Array    # [S] bool
+    gen_counts: jax.Array  # [S] i32 completion tokens generated before this step
+
+
+def append_to_ring(state: SamplingState, tokens: jax.Array, valid) -> SamplingState:
+    """Append one generated token per (valid) row to the history ring and
+    bump the per-row generation counter. Traceable."""
+    S, P = state.buf.shape
+    rows = jnp.arange(S, dtype=jnp.int32)
+    slot = state.cursor % P
+    buf = state.buf.at[rows, slot].set(jnp.where(valid, tokens, state.buf[rows, slot]))
+    gen_mask = state.gen_mask.at[rows, slot].set(
+        jnp.where(valid, True, state.gen_mask[rows, slot])
+    )
+    cursor = jnp.where(valid, state.cursor + 1, state.cursor)
+    gen_counts = jnp.where(valid, state.gen_counts + 1, state.gen_counts)
+    return state._replace(buf=buf, gen_mask=gen_mask, cursor=cursor, gen_counts=gen_counts)
 
 
 def sample_logits(
     logits: jax.Array,
     key: jax.Array,
-    temperatures: jax.Array,
-    top_k: jax.Array,
-    top_p: jax.Array,
-    rep_penalty: jax.Array,
-    penalty_tokens: jax.Array,
+    state: SamplingState,
     *,
     use_top_k: bool = False,
     use_top_p: bool = False,
     use_penalty: bool = False,
+    use_freq_pres: bool = False,
+    use_seeds: bool = False,
 ) -> jax.Array:
     """Sample one token per row (traceable core — call inside a jitted step).
 
-    logits: [S, V]; temperatures/top_k/top_p/rep_penalty: [S]
-    penalty_tokens: [S, P] token ids already emitted (-1 padded)
-    top_k[i] == 0 disables top-k for that row; top_p[i] == 1.0 disables top-p;
-    rep_penalty[i] == 1.0 disables the penalty. temperatures[i] == 0 → greedy.
+    logits: [S, V]. Seeded rows draw their Gumbel noise from
+    fold_in(PRNGKey(seed), gen_counts) — a function of the request alone, so
+    the sampled sequence is reproducible across batch compositions, decode
+    windows, and pipeline depths.
     """
     S, V = logits.shape
     logits = logits.astype(jnp.float32)
+    rows = jnp.arange(S, dtype=jnp.int32)
 
     if use_penalty:
-        # Gather the logits of previously-seen tokens, penalize, scatter back.
-        toks = jnp.clip(penalty_tokens, 0, V - 1)
+        # HF-style repetition penalty over recent tokens (prompt+generated):
+        # gather the logits of seen tokens, penalize, scatter back.
+        toks = jnp.clip(state.buf, 0, V - 1)
         vals = jnp.take_along_axis(logits, toks, axis=1)
-        pen = rep_penalty[:, None]
+        pen = state.rep_pen[:, None]
         new_vals = jnp.where(vals > 0, vals / pen, vals * pen)
-        valid = penalty_tokens >= 0
+        valid = state.buf >= 0
         new_vals = jnp.where(valid, new_vals, vals)
-        logits = logits.at[jnp.arange(S)[:, None], toks].set(new_vals)
+        logits = logits.at[rows[:, None], toks].set(new_vals)
+
+    if use_freq_pres:
+        # OpenAI-style: logits[t] -= freq*count(t) + presence*[count(t)>0],
+        # over GENERATED tokens only (gen_mask).
+        valid_gen = (state.buf >= 0) & state.gen_mask
+        toks = jnp.clip(state.buf, 0, V - 1)
+        counts = jnp.zeros((S, V), jnp.float32).at[rows[:, None], toks].add(
+            valid_gen.astype(jnp.float32)
+        )
+        logits = (
+            logits
+            - state.freq_pen[:, None] * counts
+            - state.pres_pen[:, None] * (counts > 0.0)
+        )
 
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     # Temperature scaling (0 handled by the greedy select at the end).
-    safe_t = jnp.maximum(temperatures, 1e-6)[:, None]
+    safe_t = jnp.maximum(state.temps, 1e-6)[:, None]
     scaled = logits / safe_t
 
     if use_top_k:
         kvals, _ = jax.lax.top_k(scaled, TOP_K_MAX)  # [S, K] descending
-        k_idx = jnp.clip(top_k, 1, TOP_K_MAX) - 1
+        k_idx = jnp.clip(state.top_k, 1, TOP_K_MAX) - 1
         kth = jnp.take_along_axis(kvals, k_idx[:, None], axis=1)  # [S, 1]
-        keep = (scaled >= kth) | (top_k[:, None] == 0)
+        keep = (scaled >= kth) | (state.top_k[:, None] == 0)
         scaled = jnp.where(keep, scaled, _NEG_INF)
 
     if use_top_p:
@@ -74,19 +132,27 @@ def sample_logits(
         cum = jnp.cumsum(probs, axis=-1)
         # Keep tokens while the cumulative prob BEFORE them is < p (the first
         # token is always kept); cutoff = smallest kept logit.
-        keep_sorted = (cum - probs) < top_p[:, None]
+        keep_sorted = (cum - probs) < state.top_p[:, None]
         num_keep = jnp.sum(keep_sorted, axis=-1)  # >= 1
         cutoff = jnp.take_along_axis(sorted_logits, (num_keep - 1)[:, None], axis=1)
-        keep = (scaled >= cutoff) | (top_p[:, None] >= 1.0)
+        keep = (scaled >= cutoff) | (state.top_p[:, None] >= 1.0)
         scaled = jnp.where(keep, scaled, _NEG_INF)
 
     # Gumbel-max multinomial (reference: sampler.rs:191-218).
     gumbel = jax.random.gumbel(key, (S, V), dtype=jnp.float32)
+    if use_seeds:
+        def row_gumbel(seed, count):
+            k = jax.random.fold_in(jax.random.PRNGKey(seed), count)
+            return jax.random.gumbel(k, (V,), dtype=jnp.float32)
+
+        seeded = jax.vmap(row_gumbel)(state.seeds, state.gen_counts)
+        gumbel = jnp.where(state.has_seed[:, None], seeded, gumbel)
     sampled_tok = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
 
-    return jnp.where(temperatures == 0.0, greedy_tok, sampled_tok)
+    return jnp.where(state.temps == 0.0, greedy_tok, sampled_tok)
 
 
 sample = jax.jit(
-    sample_logits, static_argnames=("use_top_k", "use_top_p", "use_penalty")
+    sample_logits,
+    static_argnames=("use_top_k", "use_top_p", "use_penalty", "use_freq_pres", "use_seeds"),
 )

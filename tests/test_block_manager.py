@@ -133,17 +133,20 @@ def test_append_protocol_boundary():
     bm.may_append(seq)
     seq.append_token(4)  # len 4
 
-    # len 4: rem == 0 → block became full, hash registered.
+    # len 4: block became full, but its last token's KV row is only written
+    # by the NEXT decode window — not hashable yet.
     bm.may_append(seq)
     bid = seq.block_table[0]
-    assert bm.blocks[bid].hash is not None
-    assert bm.blocks[bid].token_ids == [1, 2, 3, 4]
+    assert bm.blocks[bid].hash is None
     seq.append_token(5)  # len 5
 
-    # len 5: rem == 1 → new block for position 4.
+    # len 5: rem == 1 → new block for position 4; block 0 now fully covered
+    # by committed KV (first len-1 tokens) → hash registered.
     assert bm.can_append(seq)
     bm.may_append(seq)
     assert len(seq.block_table) == 2
+    assert bm.blocks[bid].hash is not None
+    assert bm.blocks[bid].token_ids == [1, 2, 3, 4]
     assert bm.blocks[seq.block_table[1]].token_ids == [5]
 
 
@@ -162,12 +165,78 @@ def test_decode_grown_block_is_prefix_reusable():
     bm.allocate(seq)
     bm.may_append(seq)
     seq.append_token(4)
-    bm.may_append(seq)  # block [1,2,3,4] filled by decode → hashed
+    bm.may_append(seq)  # block [1,2,3,4] full, last KV row still pending
+    seq.append_token(5)
+    bm.may_append(seq)  # pos 3's KV committed by the window above → hashed
     bm.deallocate(seq)
 
     fresh = mkseq([1, 2, 3, 4, 9])
     bm.allocate(fresh)
     assert fresh.num_cached_tokens == BS  # hit on the decode-grown block
+
+
+def test_decode_block_not_hashed_until_kv_committed():
+    """A block whose final token's KV row hasn't been written (it's the
+    next window's input, which may never dispatch) must not become a
+    prefix-cache target — the hitter would attend a missing row."""
+    bm = BlockManager(num_blocks=8, block_size=BS)
+    seq = mkseq([1, 2, 3])
+    bm.allocate(seq)
+    bm.may_append(seq)
+    seq.append_token(4)
+    bm.may_append(seq)
+    bm.deallocate(seq)  # aborted before the next window ran
+
+    fresh = mkseq([1, 2, 3, 4, 9])
+    bm.allocate(fresh)
+    assert fresh.num_cached_tokens == 0  # no phantom hit
+
+
+def test_budget_undo_does_not_poison_prefix_cache():
+    """undo_allocate (scheduler token-budget overflow) must wipe the hash
+    identity of freshly-created blocks — their KV was never computed, so a
+    later same-prefix allocate must miss, not hit garbage."""
+    bm = BlockManager(num_blocks=8, block_size=BS)
+    seq = mkseq(range(8))  # 2 full blocks, hashes registered at allocate
+    bm.allocate(seq)
+    bm.undo_allocate(seq)  # prefill never ran
+
+    again = mkseq(range(8))
+    bm.allocate(again)
+    assert again.num_cached_tokens == 0  # would have been 4 if poisoned
+    assert bm.num_free_blocks() == 6
+
+
+def test_undo_allocate_keeps_shared_block_identity():
+    """Blocks a rolled-back sequence merely HIT (still referenced by a live
+    sequence) keep their hash — their KV is real."""
+    bm = BlockManager(num_blocks=8, block_size=BS)
+    live = mkseq(range(8))
+    bm.allocate(live)  # owns both blocks; prefill assumed to run
+
+    loser = mkseq(list(range(8)) + [99])  # hits both + 1 fresh partial
+    bm.allocate(loser)
+    assert loser.num_cached_tokens == 8
+    bm.undo_allocate(loser)
+
+    for bid in live.block_table:
+        assert bm.blocks[bid].hash is not None
+    third = mkseq(range(8))
+    bm.allocate(third)
+    assert third.num_cached_tokens == 4  # capped to block boundary
+
+
+def test_allocate_exhaustion_rollback_wipes_fresh_hashes():
+    bm = BlockManager(num_blocks=2, block_size=BS)
+    big = mkseq(range(12))  # needs 3 blocks > 2 available
+    with pytest.raises(RuntimeError):
+        bm.allocate(big)
+    assert bm.num_free_blocks() == 2
+    # The two blocks it DID create were hashed at creation; the rollback
+    # must have wiped them.
+    small = mkseq(range(8))
+    bm.allocate(small)
+    assert small.num_cached_tokens == 0
 
 
 def test_stats_and_cache_efficiency():

@@ -86,17 +86,41 @@ class TestParity:
         for bm in (py, cc):
             s = mkseq(range(4))
             bm.allocate(s)
-            for t in [100, 101, 102, 103]:
+            # One extra decode past the block boundary so [100..103]'s last
+            # KV row is committed (by the window that consumed token 103)
+            # before the block becomes hashable.
+            for t in [100, 101, 102, 103, 104]:
                 bm.may_append(s, 1)
                 s.append_token(t)
                 bm.register_decode_progress(s)
-            # s covers 2 full blocks now: [0..3], [100..103]
+            # s covers 2 full blocks + 1 partial: [0..3], [100..103], [104]
             table = list(s.block_table)
             bm.deallocate(s)
             d = mkseq([0, 1, 2, 3, 100, 101, 102, 103])
             bm.allocate(d)
-            assert d.block_table == table
+            assert d.block_table == table[:2]
             assert d.num_cached_tokens == 4
+        assert stats_tuple(py) == stats_tuple(cc)
+
+    def test_undo_allocate_parity(self):
+        """Token-budget undo wipes fresh hashes (no phantom prefix hits) but
+        keeps identities of blocks shared with live sequences."""
+        py, cc = both()
+        for bm in (py, cc):
+            loser = mkseq(range(8))
+            bm.allocate(loser)
+            bm.undo_allocate(loser)
+            again = mkseq(range(8))
+            bm.allocate(again)
+            assert again.num_cached_tokens == 0  # poisoned hit would be 4
+
+            sharer = mkseq(list(range(8)) + [99])
+            bm.allocate(sharer)
+            assert sharer.num_cached_tokens == 8
+            bm.undo_allocate(sharer)
+            third = mkseq(range(8))
+            bm.allocate(third)
+            assert third.num_cached_tokens == 4  # live blocks kept identity
         assert stats_tuple(py) == stats_tuple(cc)
 
     def test_exhaustion_rolls_back(self):
