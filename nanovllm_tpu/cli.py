@@ -155,6 +155,40 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Multi-host serving (docs/multihost.md): every host process runs this
+    same command; rank 0 is the frontend (feeds prompts / generates), the
+    others replay the replicated engine until shutdown."""
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu":
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if args.multihost:
+        from nanovllm_tpu.parallel.distributed import initialize
+
+        initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    engine = _build_engine(args)
+    if not args.multihost or jax.process_index() == 0:
+        outs = engine.generate(list(args.prompts), _sampling(args))
+        for out in outs:
+            print(json.dumps({
+                "seq_id": out.seq_id, "text": out.text,
+                "finish_reason": out.finish_reason,
+                "num_completion_tokens": out.num_completion_tokens,
+            }))
+        if args.multihost:
+            engine.multihost_shutdown()
+    else:
+        engine.serve_follower()
+    return 0
+
+
 def cmd_info(args) -> int:
     engine = _build_engine(args)
     stats = engine.get_stats()
@@ -190,6 +224,18 @@ def main(argv=None) -> int:
     _add_sampling_args(b)
     b.add_argument("--batch", type=int, default=32)
     b.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("serve", help="multi-host serving (one process per host)")
+    _add_engine_args(s)
+    _add_sampling_args(s)
+    s.add_argument("prompts", nargs="*", default=["Hello"])
+    s.add_argument("--multihost", action="store_true")
+    s.add_argument("--coordinator", default=None, help="host:port of rank 0")
+    s.add_argument("--num-processes", type=int, default=None)
+    s.add_argument("--process-id", type=int, default=None)
+    s.add_argument("--platform", default=None,
+                   help="override jax platform (e.g. cpu for local testing)")
+    s.set_defaults(fn=cmd_serve)
 
     i = sub.add_parser("info", help="dump engine/model config and stats")
     _add_engine_args(i)

@@ -83,6 +83,13 @@ class Config:
     # (cpp/block_manager.cc via ctypes) when buildable, else pure Python;
     # "native" / "python" force one.
     block_manager_backend: str = "auto"
+    # Multi-host serving (replicated-deterministic control plane,
+    # docs/multihost.md): when jax.process_count() > 1, new requests are
+    # broadcast from the rank-0 frontend at deterministic sync points — when
+    # the engine is idle, and otherwise every `multihost_sync_interval`
+    # steps (so requests can join mid-flight with bounded latency while
+    # steady-state decode pays no per-step DCN barrier).
+    multihost_sync_interval: int = 8
 
     def __post_init__(self):
         if isinstance(self.decode_batch_buckets, list):
@@ -134,6 +141,10 @@ class Config:
             raise ValueError(f"decode_window must be >= 1, got {self.decode_window}")
         if self.pipeline_depth < 1:
             raise ValueError(f"pipeline_depth must be >= 1, got {self.pipeline_depth}")
+        if self.multihost_sync_interval < 1:
+            raise ValueError(
+                f"multihost_sync_interval must be >= 1, got {self.multihost_sync_interval}"
+            )
         if self.block_manager_backend not in ("auto", "native", "python"):
             raise ValueError(
                 "block_manager_backend must be auto/native/python, "

@@ -102,6 +102,21 @@ class LLMEngine:
         self.perf = PerfStats()
         # Incremental detokenization state per live seq_id.
         self._stream_text: Dict[int, str] = {}
+        # Multi-host replicated-deterministic serving (docs/multihost.md):
+        # every host runs this same engine; request intake is the ONLY
+        # synchronized event. Rank 0 buffers new requests and broadcasts
+        # them at deterministic sync points; every host (rank 0 included)
+        # enqueues them there, so scheduling state stays bit-identical with
+        # no per-step coordination.
+        from nanovllm_tpu.parallel.distributed import is_multihost
+
+        self._multihost = is_multihost()
+        self._intake_requests: List[tuple] = []   # (token_ids, params), rank 0
+        self._intake_seqs: List[Sequence] = []    # rank-0 pre-created handles
+        self._intake_aborts: List[int] = []       # rank-0 buffered abort seq_ids
+        self._stop_requested = False              # rank-0 flag, broadcast next sync
+        self.stopped = False                      # set on ALL ranks by the sentinel
+        self._steps_since_sync = 0
         logger.info(
             "engine ready: model=%s blocks=%d block_size=%d",
             config.model_path,
@@ -133,10 +148,84 @@ class LLMEngine:
     def add_request(
         self, prompt: str, params: Optional[SamplingParams] = None
     ) -> Sequence:
-        """Continuous-batching entry point: enqueue without blocking."""
+        """Continuous-batching entry point: enqueue without blocking.
+
+        Multi-host: only the rank-0 frontend accepts requests; the returned
+        Sequence is a live handle but is enqueued at the next intake sync
+        (so every host admits it at the same step)."""
+        import jax
+
+        if self._multihost and jax.process_index() != 0:
+            raise RuntimeError(
+                "multi-host engine: requests must enter via the rank-0 frontend"
+            )
         seq = self._create_sequences([prompt], params)[0]
-        self.scheduler.add_sequence(seq)
+        if self._multihost:
+            seq.sampling_params.validate()  # reject bad params at intake
+            self._intake_requests.append((seq.token_ids[:], seq.sampling_params))
+            self._intake_seqs.append(seq)
+        else:
+            self.scheduler.add_sequence(seq)
         return seq
+
+    # ------------------------------------------------------------------
+    # Multi-host intake sync (docs/multihost.md; SURVEY §7 M6)
+    # ------------------------------------------------------------------
+    def _intake_sync_due(self) -> bool:
+        """Deterministic on every host: sync when the engine is idle (a
+        blocked follower waits here for work) or every
+        multihost_sync_interval steps (mid-flight admission)."""
+        if self.is_finished():
+            return True
+        return self._steps_since_sync >= self.config.multihost_sync_interval
+
+    def _sync_intake(self) -> None:
+        """Collective: every host must call this at the same engine state.
+        Broadcasts rank 0's buffered requests (and the stop flag) and
+        enqueues them identically everywhere. Sequence ids stay aligned
+        because every host creates the same sequences in the same order."""
+        import jax
+
+        from nanovllm_tpu.parallel.distributed import broadcast_object
+
+        root = jax.process_index() == 0
+        payload = (
+            (self._intake_requests, self._intake_aborts, self._stop_requested)
+            if root
+            else None
+        )
+        requests, aborts, stop = broadcast_object(payload)
+        if root:
+            seqs = self._intake_seqs
+            self._intake_requests, self._intake_seqs = [], []
+            self._intake_aborts = []
+        else:
+            seqs = [
+                Sequence(list(tok), params, block_size=self.config.kvcache_block_size)
+                for tok, params in requests
+            ]
+        for seq in seqs:
+            self.scheduler.add_sequence(seq)
+        for seq_id in aborts:
+            self._abort_by_id(seq_id)
+        if stop:
+            self.stopped = True
+        self._steps_since_sync = 0
+
+    def serve_follower(self) -> None:
+        """Follower (non-rank-0) serving loop: replays the replicated
+        engine until the rank-0 frontend broadcasts shutdown. Blocks inside
+        the intake broadcast while idle."""
+        while not self.stopped:
+            self.step()
+
+    def multihost_shutdown(self) -> None:
+        """Rank 0: broadcast the stop sentinel so followers exit
+        serve_follower. Collective with the followers' next sync."""
+        self._stop_requested = True
+        if self._multihost:
+            self._sync_intake()
+        self.stopped = True
 
     # ------------------------------------------------------------------
     # One engine iteration (reference: llm_engine.rs:155-197)
@@ -150,6 +239,11 @@ class LLMEngine:
         Reference parity: llm_engine.rs:155-197, but asynchronous — the
         reference executes and waits inside each step."""
         t0 = time.monotonic()
+        if self._multihost and self._intake_sync_due():
+            self._sync_intake()
+            if self.stopped:
+                return []  # shutdown sentinel: a stopped engine schedules nothing
+        self._steps_since_sync += 1
         outputs: List[SequenceOutput] = []
         if self._pending and not self.config.async_scheduling:
             while self._pending:
@@ -207,13 +301,14 @@ class LLMEngine:
     ) -> List[SequenceOutput]:
         if isinstance(prompts, str):
             prompts = [prompts]
-        seqs = self._create_sequences(prompts, params)
-        for seq in seqs:
-            self.scheduler.add_sequence(seq)
+        # Via add_request so multi-host intake buffering applies uniformly.
+        seqs = [self.add_request(p, params) for p in prompts]
         self.is_running = True
         try:
             collected: Dict[int, SequenceOutput] = {}
-            while not self.is_finished():
+            # Multi-host: the requests sit in the rank-0 intake buffer until
+            # the first step's sync, so check it alongside engine state.
+            while self._intake_requests or not self.is_finished():
                 for out in self.step():
                     collected[out.seq_id] = out
             # Preserve request order.
@@ -262,7 +357,7 @@ class LLMEngine:
                     yield out
                 await asyncio.sleep(0)
         except GeneratorExit:
-            self._abort(seq)
+            self.abort_request(seq.seq_id)
             raise
         finally:
             self._stream_text.pop(seq.seq_id, None)
@@ -272,7 +367,23 @@ class LLMEngine:
         """Cancel an in-flight request by id: removes it from the queues,
         frees its KV blocks, and marks it ERROR/cancelled. In-flight device
         windows containing it become zombies and are discarded at fetch.
-        Returns True if a live request was found."""
+        Returns True if a live request was found.
+
+        Multi-host: the abort is buffered on rank 0 and applied on every
+        host at the next intake sync (so the replicated schedulers stay
+        bit-identical)."""
+        if self._multihost:
+            import jax
+
+            if jax.process_index() != 0:
+                raise RuntimeError(
+                    "multi-host engine: aborts must enter via the rank-0 frontend"
+                )
+            self._intake_aborts.append(seq_id)
+            return True
+        return self._abort_by_id(seq_id)
+
+    def _abort_by_id(self, seq_id: int) -> bool:
         for q in (self.scheduler.running, self.scheduler.waiting):
             for seq in list(q):
                 if seq.seq_id == seq_id:

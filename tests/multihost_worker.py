@@ -1,0 +1,101 @@
+"""Worker process for the 2-process multi-host determinism test.
+
+Runs the replicated-deterministic serving loop (docs/multihost.md) on the
+CPU backend with gloo collectives and dumps a JSON trace of every scheduling
+decision (batch composition + block tables) plus all finished outputs. The
+parent test asserts the traces of both ranks are bit-identical.
+
+Usage: python multihost_worker.py RANK NPROCS PORT MODEL_DIR OUT_JSON
+"""
+
+import json
+import sys
+
+
+def main():
+    rank, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    model_dir, out_path = sys.argv[4], sys.argv[5]
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from nanovllm_tpu.parallel.distributed import initialize
+
+    initialize(f"localhost:{port}", num_processes=nprocs, process_id=rank)
+    assert jax.process_count() == nprocs
+
+    from nanovllm_tpu import Config, SamplingParams
+    from nanovllm_tpu.engine.llm_engine import LLMEngine
+
+    cfg = Config(
+        model_path=model_dir, dtype="float32", kvcache_block_size=16,
+        num_kvcache_blocks=32, max_num_seqs=8, max_num_batched_tokens=256,
+        max_model_len=128, decode_window=4, async_scheduling=True,
+        pipeline_depth=2, multihost_sync_interval=3,
+        block_manager_backend="python",
+    )
+    engine = LLMEngine(cfg, rng_seed=0)
+
+    trace = []
+    orig_schedule = engine.scheduler.schedule
+
+    def traced_schedule(window=1):
+        batch, is_prefill = orig_schedule(window)
+        trace.append([
+            "sched",
+            [s.seq_id for s in batch],
+            bool(is_prefill),
+            [list(s.block_table) for s in batch],
+        ])
+        return batch, is_prefill
+
+    engine.scheduler.schedule = traced_schedule
+    outputs = {}
+
+    def record(outs):
+        for o in outs:
+            outputs[o.seq_id] = {
+                "tokens": list(o.completion_token_ids),
+                "reason": o.finish_reason,
+            }
+
+    p = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    if rank == 0:
+        engine.add_request("the first wave prompt alpha", p)
+        engine.add_request("wave one beta", p)
+        steps = 0
+        added_second = False
+        aborted = False
+        wave2 = None
+        while engine._intake_requests or not engine.is_finished():
+            record(engine.step())
+            steps += 1
+            if steps == 4 and not added_second:
+                # Mid-flight admission: joins at the next interval sync. The
+                # long budget leaves room for the abort below to land while
+                # it is still running.
+                wave2 = engine.add_request(
+                    "late joiner gamma " * 3,
+                    SamplingParams(temperature=0.0, max_tokens=96, ignore_eos=True),
+                )
+                engine.add_request("late joiner delta", p)
+                added_second = True
+            if added_second and not aborted and wave2.num_completion_tokens >= 4:
+                # Mid-flight abort, also broadcast at a sync point.
+                engine.abort_request(wave2.seq_id)
+                aborted = True
+        engine.multihost_shutdown()
+    else:
+        while not engine.stopped:
+            record(engine.step())
+
+    with open(out_path, "w") as f:
+        json.dump({"trace": trace, "outputs": outputs}, f, sort_keys=True)
+    print(f"rank {rank}: {len(trace)} scheduling events, "
+          f"{len(outputs)} outputs", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Multi-host serving: 2 real processes (jax.distributed over gloo/CPU)
+running the replicated-deterministic engine must produce bit-identical
+scheduling decisions (batch composition + block tables) and outputs, with
+requests admitted mid-flight and an abort broadcast from the rank-0
+frontend (SURVEY §7 M6; docs/multihost.md)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    from nanovllm_tpu.models.qwen3 import Qwen3Config, init_params
+    from nanovllm_tpu.utils.loader import save_qwen3_weights_hf
+
+    d = tmp_path_factory.mktemp("mh_model")
+    cfg_dict = dict(
+        model_type="qwen3", vocab_size=256, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg_dict, f)
+    cfg = Qwen3Config.from_hf(cfg_dict)
+    params = init_params(cfg, jax.random.PRNGKey(11), jnp.float32)
+    save_qwen3_weights_hf(params, cfg, str(d))
+    return str(d)
+
+
+def test_two_process_replicated_determinism(model_dir, tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # The workers pick their own platform via jax.config; scrub pytest's CPU
+    # forcing so they configure from scratch.
+    env.pop("XLA_FLAGS", None)
+    outs = [str(tmp_path / f"rank{r}.json") for r in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", WORKER, str(r), "2", str(port), model_dir, outs[r]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for r in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            log, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(log)
+    for r, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{log[-4000:]}"
+
+    data = [json.load(open(o)) for o in outs]
+    # Bit-identical scheduling: same batches, same order, same block tables.
+    assert data[0]["trace"] == data[1]["trace"]
+    assert len(data[0]["trace"]) > 4
+    # Identical finished outputs (token-for-token).
+    assert data[0]["outputs"] == data[1]["outputs"]
+    assert len(data[0]["outputs"]) == 3  # 4 requests - 1 aborted
+    # Mid-flight admission actually happened: some sequence was scheduled
+    # for prefill after the first decode batch.
+    trace = data[0]["trace"]
+    first_decode = next(i for i, e in enumerate(trace) if e[1] and not e[2])
+    late_prefill = [e for e in trace[first_decode:] if e[1] and e[2]]
+    assert late_prefill, "second wave should prefill after decode started"
