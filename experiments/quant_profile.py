@@ -39,13 +39,18 @@ def mkw(in_d, out_d, stacked=True):
     return jnp.asarray(rng.standard_normal(shape, np.float32) * 0.02, jnp.bfloat16)
 
 
-def timeit(fn, *args, iters=30, warmup=2):
+def timeit(fn, x0, *args, iters=30, warmup=2):
+    """Chain each call's output into the next call's input: the tunneled
+    runtime deduplicates byte-identical repeated dispatches, so repeating
+    fn(x0) measures cache hits, not compute."""
+    x = x0
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        x = fn(x, *args)
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        x = fn(x, *args)
+    jax.block_until_ready(x)
     return (time.perf_counter() - t0) / iters
 
 

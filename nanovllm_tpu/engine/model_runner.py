@@ -163,13 +163,13 @@ class ModelRunner:
 
         # Pallas kernels: TPU backend only (CPU tests run the jnp oracle);
         # head_dim must fill MXU/VPU lanes; under TP the kernels run per
-        # head shard via shard_map (ops/pallas/sharded.py). INT8 KV (tuple
-        # caches with scales) pending kernel support.
+        # head shard via shard_map (ops/pallas/sharded.py). Quantized KV
+        # (tuple caches with scales) pending kernel support.
         use_pallas = (
             config.use_pallas
             and jax.default_backend() == "tpu"
             and self.model_config.head_dim % 128 == 0
-            and kv_dtype != jnp.int8
+            and kv_dtype not in (jnp.int8, jnp.float8_e4m3fn)
         )
         self.attn_impl = "pallas_decode" if use_pallas else "ref"
         self.prefill_attn_impl = "pallas_prefill" if use_pallas else "ref"

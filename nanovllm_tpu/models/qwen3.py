@@ -165,15 +165,16 @@ def create_kv_caches(
     consume (reference keeps [blocks, block_size, kv_heads, head_dim],
     model_runner.rs:364-396).
 
-    dtype int8 → each cache is the tuple (data int8, per-row scale f32
-    [L, NB, Hkv, BS]); writers quantize with amax/127 per (token, head)."""
+    Quantized dtypes (int8, float8_e4m3fn) → each cache is the tuple
+    (data, per-row scale f32 [L, NB, Hkv, BS]); writers quantize per
+    (token, head) with amax/qmax scales (qmax 127 for int8, 448 for e4m3)."""
     Hkv = kv_heads or cfg.num_key_value_heads
     shape = (cfg.num_hidden_layers, num_blocks, Hkv, block_size, cfg.head_dim)
-    if dtype == jnp.int8:
+    if dtype in (jnp.int8, jnp.float8_e4m3fn):
         # Distinct scale buffers: K and V are donated separately.
         return (
-            (jnp.zeros(shape, jnp.int8), jnp.zeros(shape[:-1], jnp.float32)),
-            (jnp.zeros(shape, jnp.int8), jnp.zeros(shape[:-1], jnp.float32)),
+            (jnp.zeros(shape, dtype), jnp.zeros(shape[:-1], jnp.float32)),
+            (jnp.zeros(shape, dtype), jnp.zeros(shape[:-1], jnp.float32)),
         )
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 

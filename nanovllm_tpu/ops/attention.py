@@ -36,9 +36,9 @@ def kv_cache_write(
     cache: [num_layers, num_blocks, kv_heads, block_size, head_dim] — the
       FULL stacked cache (it lives in the layer-scan carry so XLA keeps the
       scatter in place on the donated buffer instead of round-tripping the
-      whole cache through scan xs/ys copies). An INT8 cache is the tuple
-      (data int8, scale f32 [L, NB, Hkv, BS]): values are quantized
-      per-(token, head) with amax/127 scales.
+      whole cache through scan xs/ys copies). A quantized cache (int8 or
+      float8_e4m3fn) is the tuple (data, scale f32 [L, NB, Hkv, BS]):
+      values are quantized per-(token, head) with amax/qmax scales.
     values: [T, kv_heads, head_dim]; slot_mapping: [T] = block*block_size +
       offset (-1 entries dropped); layer_idx: scalar int32.
     Reference capability: attention.rs:150-174 (store_kv_cache).
@@ -47,8 +47,12 @@ def kv_cache_write(
         data, scale_cache = cache
         vf = values.astype(jnp.float32)
         amax = jnp.max(jnp.abs(vf), axis=-1)  # [T, Hkv]
-        scales = jnp.maximum(amax / 127.0, 1e-10)
-        q = jnp.clip(jnp.round(vf / scales[..., None]), -127, 127).astype(jnp.int8)
+        if data.dtype == jnp.int8:
+            scales = jnp.maximum(amax / 127.0, 1e-10)
+            q = jnp.clip(jnp.round(vf / scales[..., None]), -127, 127).astype(jnp.int8)
+        else:  # float8_e4m3fn: scale rows into the full e4m3 range (±448)
+            scales = jnp.maximum(amax / 448.0, 1e-10)
+            q = (vf / scales[..., None]).astype(data.dtype)
         data = kv_cache_write(data, q, slot_mapping, layer_idx)
         scale_cache = _kv_scale_write(scale_cache, scales, slot_mapping, layer_idx)
         return data, scale_cache

@@ -227,7 +227,15 @@ def test_impossible_prompt_returns_error_output(model_dir):
 
 
 class TestKVCacheDtypes:
-    def test_fp8_kv_cache_generates(self, tmp_model_dir):
+    # fp8-e4m3 (3 mantissa bits) can shift one greedy token and then follow
+    # a displaced-but-valid trajectory on this random tiny model, so its
+    # positional-match gate is loose here; its real accuracy gate is the
+    # teacher-forced perplexity test (test_perplexity.py::test_fp8_kv_ppl_gate).
+    @pytest.mark.parametrize("kvd,min_match", [("int8", 8), ("fp8", 1)])
+    def test_quantized_kv_cache_close_to_fp32(self, tmp_model_dir, kvd, min_match):
+        """Quantized KV (per-row scales: int8 amax/127, fp8-e4m3 amax/448)
+        runs end-to-end and greedy decode stays close to the fp32-KV decode
+        on the same weights (BASELINE configs 3 and 5)."""
         import json
         import os
 
@@ -241,41 +249,22 @@ class TestKVCacheDtypes:
                            intermediate_size=256, num_hidden_layers=2,
                            num_attention_heads=4, num_key_value_heads=2,
                            head_dim=32, tie_word_embeddings=True), f)
-        cfg = Config(model_path=tmp_model_dir, dtype="float32",
-                     kv_cache_dtype="fp8", kvcache_block_size=16,
-                     num_kvcache_blocks=32, max_model_len=256, decode_window=4)
-        eng = LLMEngine(cfg, rng_seed=0)
-        assert eng.model_runner.k_cache.dtype == jnp.float8_e4m3fn
-        outs = eng.generate(["hello world"],
-                            SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True))
-        assert outs[0].num_completion_tokens == 8
-
-    def test_int8_kv_cache_generates_close_to_fp32(self, tmp_model_dir):
-        """INT8 KV (per-row scales) runs end-to-end and greedy decode stays
-        close to the fp32-KV decode on the same weights."""
-        import json
-        import os
-
-        from nanovllm_tpu import Config, SamplingParams
-        from nanovllm_tpu.engine.llm_engine import LLMEngine
-
-        with open(os.path.join(tmp_model_dir, "config.json"), "w") as f:
-            json.dump(dict(model_type="qwen3", vocab_size=512, hidden_size=128,
-                           intermediate_size=256, num_hidden_layers=2,
-                           num_attention_heads=4, num_key_value_heads=2,
-                           head_dim=32, tie_word_embeddings=True), f)
         outs = {}
-        for kvd in ("auto", "int8"):
+        for mode in ("auto", kvd):
             cfg = Config(model_path=tmp_model_dir, dtype="float32",
-                         kv_cache_dtype=kvd, kvcache_block_size=16,
+                         kv_cache_dtype=mode, kvcache_block_size=16,
                          num_kvcache_blocks=32, max_model_len=256,
                          decode_window=4)
             eng = LLMEngine(cfg, rng_seed=0)
+            if mode == kvd:  # tuple cache: (data, per-row scale)
+                data, scale = eng.model_runner.k_cache
+                expect = jnp.int8 if kvd == "int8" else jnp.float8_e4m3fn
+                assert data.dtype == expect and scale.dtype == jnp.float32
             o = eng.generate(["hello world"],
                              SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True))
-            outs[kvd] = o[0].completion_token_ids
-        match = sum(a == b for a, b in zip(outs["auto"], outs["int8"]))
-        assert match >= 8, (match, outs)  # int8 KV tracks fp32 closely
+            outs[mode] = o[0].completion_token_ids
+        match = sum(a == b for a, b in zip(outs["auto"], outs[kvd]))
+        assert match >= min_match, (match, outs)  # quantized KV tracks fp32
 
 
 class TestAbort:

@@ -64,3 +64,15 @@ class TestKVQuantPerplexity:
         base = perplexity(cfg, params, texts, kv_dtype=jnp.float32)
         got = perplexity(cfg, params, texts, kv_dtype=jnp.int8)
         assert abs(got - base) / base < 0.05, (got, base)
+
+    def test_fp8_kv_ppl_gate(self, tiny):
+        """FP8-e4m3 KV (per-row amax/448 scales) perplexity tracks
+        full-precision KV (BASELINE config 5 accuracy gate). e4m3 has 3
+        mantissa bits, so the gate is looser than int8's (measured ~0.4%
+        on this model vs int8's ~0.008%)."""
+        import jax.numpy as jnp
+
+        cfg, params, texts = tiny
+        base = perplexity(cfg, params, texts, kv_dtype=jnp.float32)
+        got = perplexity(cfg, params, texts, kv_dtype=jnp.float8_e4m3fn)
+        assert abs(got - base) / base < 0.02, (got, base)
