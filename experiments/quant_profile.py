@@ -39,19 +39,35 @@ def mkw(in_d, out_d, stacked=True):
     return jnp.asarray(rng.standard_normal(shape, np.float32) * 0.02, jnp.bfloat16)
 
 
-def timeit(fn, x0, *args, iters=30, warmup=2):
-    """Chain each call's output into the next call's input: the tunneled
-    runtime deduplicates byte-identical repeated dispatches, so repeating
-    fn(x0) measures cache hits, not compute."""
+RTT_EST = None  # measured once: host<->device fetch round trip
+
+
+def _fetch_barrier(x):
+    """A REAL completion barrier: fetch the value. block_until_ready through
+    the tunneled attachment returns before compute finishes."""
+    return np.asarray(x)
+
+
+def timeit(fn, x0, *args, iters=100, warmup=3):
+    """Chain each call's output into the next call's input (the tunneled
+    runtime deduplicates byte-identical repeated dispatches) and barrier
+    with a value fetch; the measured fetch RTT is subtracted."""
+    global RTT_EST
     x = x0
     for _ in range(warmup):
         x = fn(x, *args)
-    jax.block_until_ready(x)
+    _fetch_barrier(x)
+    if RTT_EST is None:
+        t = time.perf_counter()
+        for _ in range(5):
+            _fetch_barrier(x)
+        RTT_EST = (time.perf_counter() - t) / 5
+        print(f"fetch RTT ~ {RTT_EST*1e3:.1f} ms", flush=True)
     t0 = time.perf_counter()
     for _ in range(iters):
         x = fn(x, *args)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters
+    _fetch_barrier(x)
+    return (time.perf_counter() - t0 - RTT_EST) / iters
 
 
 def chain_scan(mm_of, n_scan=8):

@@ -59,6 +59,10 @@ class Config:
     # Use Pallas kernels for attention when available (falls back to the
     # pure-jnp reference ops on CPU or when False).
     use_pallas: bool = True
+    # Run the Pallas kernels in interpret mode on non-TPU backends instead
+    # of falling back to the jnp oracle — exercises the real kernel +
+    # shard_map code paths on CPU (multichip dryrun, kernel tests).
+    pallas_interpret: bool = False
     # Shape buckets for the jitted decode step (batch sizes). The analogue of
     # the reference's per-batch-size CUDA graph cache
     # (reference: src/engine/model_runner.rs:46-63).

@@ -167,7 +167,7 @@ class ModelRunner:
         # (tuple caches with scales) pending kernel support.
         use_pallas = (
             config.use_pallas
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or config.pallas_interpret)
             and self.model_config.head_dim % 128 == 0
             and kv_dtype not in (jnp.int8, jnp.float8_e4m3fn)
         )
