@@ -59,6 +59,11 @@ class Config:
     # Use Pallas kernels for attention when available (falls back to the
     # pure-jnp reference ops on CPU or when False).
     use_pallas: bool = True
+    # With quantization on, also quantize the embedding/lm_head to INT8
+    # per-vocab-row (the head stays 8-bit even under int4 layer weights).
+    # At decode batch sizes the logits matmul is the single largest HBM
+    # read of the step; set False to keep the head at full precision.
+    quantize_lm_head: bool = True
     # Run the Pallas kernels in interpret mode on non-TPU backends instead
     # of falling back to the jnp oracle — exercises the real kernel +
     # shard_map code paths on CPU (multichip dryrun, kernel tests).

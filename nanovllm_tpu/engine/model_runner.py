@@ -202,7 +202,12 @@ class ModelRunner:
         if self.config.quantization:
             from nanovllm_tpu.ops.quant import quantize_params
 
-            params = quantize_params(params, self.config.quantization)
+            params = quantize_params(
+                params,
+                self.config.quantization,
+                include_embedding=self.config.quantize_lm_head,
+                dtype=self.config.dtype,
+            )
         return params
 
     def _kv_dtype(self):

@@ -235,7 +235,9 @@ def forward(
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     scale = Dh ** -0.5
 
-    h = params["embedding"][token_ids]  # [T, D]
+    from nanovllm_tpu.ops.quant import embedding_lookup, lm_head_logits
+
+    h = embedding_lookup(params["embedding"], token_ids)  # [T, D]
 
     # The stacked KV caches ride in the scan CARRY (not xs/ys): XLA keeps the
     # per-layer scatter in place on the donated buffers, where xs/ys would
@@ -376,7 +378,7 @@ def forward(
     # harness), at every token. bf16 matmul with fp32 accumulation.
     x = h if all_logits else h[meta.logits_idx]  # [T or S, D]
     lm_w = params["embedding"] if cfg.tie_word_embeddings else params["lm_head"]
-    logits = jnp.dot(x, lm_w.T, preferred_element_type=jnp.float32)
+    logits = lm_head_logits(x, lm_w)
     return logits, k_cache, v_cache
 
 

@@ -170,13 +170,74 @@ def matmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor]) -> jax.Array:
     return x @ w
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "scale"],
+    meta_fields=["dtype"],
+)
+@dataclass
+class QuantizedEmbedding:
+    """INT8 embedding / lm_head: data int8 [V, D], per-vocab-row scale f32
+    [V]. One layout serves both uses: token lookup gathers rows (dequant on
+    the gathered rows only), and lm_head logits contract over D directly
+    (lax.dot_general over the SECOND dim of data — no transpose, no bf16
+    weight materialization; the per-row scales factor onto the [S, V]
+    output). At decode batch sizes the logits matmul is HBM-bound, so int8
+    halves the single largest weight read of the step (~311 MB bf16 for
+    Qwen3-0.6B's tied embedding)."""
+
+    data: jax.Array
+    scale: jax.Array
+    dtype: str = "bfloat16"
+
+    def lookup(self, token_ids: jax.Array) -> jax.Array:
+        rows = self.data[token_ids].astype(jnp.float32)
+        return (rows * self.scale[token_ids][:, None]).astype(self.dtype)
+
+    def logits(self, x: jax.Array) -> jax.Array:
+        acc = jax.lax.dot_general(
+            x, self.data.astype(x.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc * self.scale[None, :]
+
+
+def quantize_embedding(w: jax.Array, dtype: str = "bfloat16") -> QuantizedEmbedding:
+    """Symmetric per-vocab-row INT8 quantization of an embedding/lm_head
+    weight [V, D]."""
+    wf = np.asarray(w, np.float32)
+    absmax = np.abs(wf).max(axis=1)  # [V]
+    scale = np.maximum(absmax / 127.0, 1e-12)
+    q = np.clip(np.rint(wf / scale[:, None]), -127, 127).astype(np.int8)
+    return QuantizedEmbedding(
+        data=jnp.asarray(q), scale=jnp.asarray(scale, jnp.float32), dtype=dtype
+    )
+
+
+def embedding_lookup(emb, token_ids: jax.Array) -> jax.Array:
+    if isinstance(emb, QuantizedEmbedding):
+        return emb.lookup(token_ids)
+    return emb[token_ids]
+
+
+def lm_head_logits(x: jax.Array, lm_w) -> jax.Array:
+    """Logits at fp32 accumulation; lm_w is [V, D] (embedding orientation),
+    plain or QuantizedEmbedding."""
+    if isinstance(lm_w, QuantizedEmbedding):
+        return lm_w.logits(x)
+    return jnp.dot(x, lm_w.T, preferred_element_type=jnp.float32)
+
+
 # Which leaves of the layer-stacked params get quantized: the four big
-# matmuls. Norms stay bf16 (tiny); embedding/lm_head stay bf16 (gather +
-# fp32-accum logits matmul).
+# matmuls. Norms stay bf16 (tiny). The embedding/lm_head is quantized to
+# INT8 per vocab row regardless of the layer method (the head is the
+# accuracy-sensitive tensor; 8-bit per-row is the standard compromise).
 _QUANT_KEYS = ("qkv", "o", "gate_up", "down")
 
 
-def quantize_params(params: dict, method: str, group_size: Optional[int] = None) -> dict:
+def quantize_params(params: dict, method: str, group_size: Optional[int] = None,
+                    include_embedding: bool = True, dtype: str = "bfloat16") -> dict:
     """Quantize the big matmul weights of a loaded params pytree in place
     (applied once at load time, reference capability: none — north star)."""
     bits = {"int8": 8, "int4": 4}.get(method)
@@ -191,4 +252,8 @@ def quantize_params(params: dict, method: str, group_size: Optional[int] = None)
     for k in _QUANT_KEYS:
         layers[k] = quantize(layers[k], bits, group_size)
     out["layers"] = layers
+    if include_embedding:
+        out["embedding"] = quantize_embedding(params["embedding"], dtype)
+        if "lm_head" in params:
+            out["lm_head"] = quantize_embedding(params["lm_head"], dtype)
     return out

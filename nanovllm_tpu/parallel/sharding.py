@@ -65,9 +65,9 @@ def _quantize_spec(spec: P, qt) -> object:
 
 
 def param_pspecs_for(params: dict, tie_word_embeddings: bool = False) -> dict:
-    """param_pspecs adapted to the actual params tree: QuantizedTensor
-    leaves get matching QuantizedTensor spec nodes."""
-    from nanovllm_tpu.ops.quant import QuantizedTensor
+    """param_pspecs adapted to the actual params tree: QuantizedTensor /
+    QuantizedEmbedding leaves get matching spec nodes."""
+    from nanovllm_tpu.ops.quant import QuantizedEmbedding, QuantizedTensor
 
     specs = param_pspecs(tie_word_embeddings)
     out_layers = {}
@@ -80,6 +80,12 @@ def param_pspecs_for(params: dict, tie_word_embeddings: bool = False) -> dict:
         )
     specs = dict(specs)
     specs["layers"] = out_layers
+    for k in ("embedding", "lm_head"):
+        if isinstance(params.get(k), QuantizedEmbedding):
+            # data [V, D] and scale [V] both vocab-sharded like the spec.
+            specs[k] = QuantizedEmbedding(
+                data=specs[k], scale=P(AXIS_MODEL), dtype=params[k].dtype
+            )
     return specs
 
 

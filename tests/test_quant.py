@@ -102,10 +102,33 @@ class TestQuantizeParams:
         )
         params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
         qp = quantize_params(params, "int8")
+        from nanovllm_tpu.ops.quant import QuantizedEmbedding
+
         for k in ("qkv", "o", "gate_up", "down"):
             assert isinstance(qp["layers"][k], QuantizedTensor)
-        assert isinstance(qp["embedding"], jax.Array)
+        # The head is int8 per-vocab-row by default (largest decode read)...
+        assert isinstance(qp["embedding"], QuantizedEmbedding)
         assert isinstance(qp["layers"]["input_ln"], jax.Array)
+        # ...and stays full precision when opted out.
+        qp2 = quantize_params(params, "int8", include_embedding=False)
+        assert isinstance(qp2["embedding"], jax.Array)
+
+    def test_quantized_embedding_tracks_full_precision(self):
+        from nanovllm_tpu.ops.quant import lm_head_logits, quantize_embedding
+
+        w = _rand((512, 128), seed=9) * 0.05  # [V, D]
+        qe = quantize_embedding(w, dtype="float32")
+        ids = jnp.asarray([0, 3, 511, 17])
+        got = qe.lookup(ids)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(w[ids]),
+                                   atol=2e-3, rtol=0)
+        x = _rand((4, 128), seed=10)
+        ref = lm_head_logits(x, w)
+        ql = lm_head_logits(x, qe)
+        # argmax (the greedy token) must agree; values close.
+        assert (jnp.argmax(ref, -1) == jnp.argmax(ql, -1)).all()
+        np.testing.assert_allclose(np.asarray(ql), np.asarray(ref),
+                                   atol=0.05, rtol=0.01)
 
     def test_rejects_unknown_method(self):
         with pytest.raises(ValueError):
