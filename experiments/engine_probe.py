@@ -221,9 +221,15 @@ def decode_window_budget():
 
 
 if __name__ == "__main__":
+    import os
     print("devices:", jax.devices(), flush=True)
-    lm_head()
-    attention_kernels()
-    decode_window_budget()
-    prefill_matmuls()
+    sections = os.environ.get("PROBE_SECTIONS", "lm_head,attention,window,prefill").split(",")
+    if "lm_head" in sections:
+        lm_head()
+    if "attention" in sections:
+        attention_kernels()
+    if "window" in sections:
+        decode_window_budget()
+    if "prefill" in sections:
+        prefill_matmuls()
     print("DONE", flush=True)

@@ -164,15 +164,19 @@ class ModelRunner:
         # Pallas kernels: TPU backend only (CPU tests run the jnp oracle);
         # head_dim must fill MXU/VPU lanes; under TP the kernels run per
         # head shard via shard_map (ops/pallas/sharded.py). Quantized KV
-        # (tuple caches with scales) pending kernel support.
-        use_pallas = (
+        # (tuple caches with scales): the decode kernels dequantize
+        # in-VMEM; prefill and the shard_map wrappers still take the jnp
+        # path for tuple caches.
+        kv_quantized = kv_dtype in (jnp.int8, jnp.float8_e4m3fn)
+        base_pallas = (
             config.use_pallas
             and (jax.default_backend() == "tpu" or config.pallas_interpret)
             and self.model_config.head_dim % 128 == 0
-            and kv_dtype not in (jnp.int8, jnp.float8_e4m3fn)
         )
-        self.attn_impl = "pallas_decode" if use_pallas else "ref"
-        self.prefill_attn_impl = "pallas_prefill" if use_pallas else "ref"
+        use_pallas_decode = base_pallas and not (kv_quantized and self.mesh is not None)
+        use_pallas_prefill = base_pallas and not kv_quantized
+        self.attn_impl = "pallas_decode" if use_pallas_decode else "ref"
+        self.prefill_attn_impl = "pallas_prefill" if use_pallas_prefill else "ref"
 
         # Jit caches: one compiled executable per (flags, shape bucket) — the
         # TPU analogue of the reference's HashMap<batch_size, CudaGraph>.
@@ -335,6 +339,8 @@ class ModelRunner:
             "use_penalty": use_penalty,
             "use_freq_pres": use_freq_pres,
             "use_seeds": use_seeds,
+            # All-greedy batches skip the [S, V] Gumbel draw entirely.
+            "use_random": bool((temps != 0.0).any()),
         }
         state = sampling_ops.SamplingState(
             temps=temps, top_k=top_k, top_p=top_p, rep_pen=rep_pen,

@@ -68,13 +68,30 @@ def build_decode_window(
     track_history = any(
         flags.get(f) for f in ("use_penalty", "use_freq_pres", "use_seeds")
     )
+    # Window-commit mode (pallas decode): KV rows stage in a
+    # [L, S, Hkv, K, Dh] buffer across the window; attention merges the
+    # history kernel with XLA attention over the staged rows; the cache is
+    # span-committed once per layer per window (K-fold fewer DMA issues
+    # than per-substep row RMWs).
+    window_mode = attn_impl == "pallas_decode"
 
     def fn(params, k_cache, v_cache, last_tokens, block_tables, context_lens, samp, key):
         S, M = block_tables.shape
         rows = jnp.arange(S, dtype=jnp.int32)
+        start_lens = jnp.maximum(context_lens - 1, 0)
+        seq_valid = context_lens > 0
+        if window_mode:
+            L = cfg.num_hidden_layers
+            Hkv, Dh = cfg.num_key_value_heads, cfg.head_dim
+            wdtype = params["final_ln"].dtype
+            k_win0 = jnp.zeros((L, S, Hkv, num_steps, Dh), wdtype)
+            v_win0 = jnp.zeros((L, S, Hkv, num_steps, Dh), wdtype)
 
         def substep(carry, k_idx):
-            k_cache, v_cache, toks, ctx, state = carry
+            if window_mode:
+                k_cache, v_cache, toks, ctx, state, k_win, v_win = carry
+            else:
+                k_cache, v_cache, toks, ctx, state = carry
             valid = ctx > 0
             pos = jnp.maximum(ctx - 1, 0)  # position written this substep
             blk_idx = jnp.clip(pos // block_size, 0, M - 1)
@@ -92,22 +109,67 @@ def build_decode_window(
                 q_gather=rows[:, None],
                 q_positions=jnp.where(valid, ctx - 1, -1)[:, None],
             )
-            logits, k_cache, v_cache = forward_fn(
-                cfg, params, k_cache, v_cache, toks, meta, attn_impl=attn_impl,
-                mesh=mesh,
-            )
+            if window_mode:
+                logits, k_cache, v_cache, (k_win, v_win) = forward_fn(
+                    cfg, params, k_cache, v_cache, toks, meta,
+                    attn_impl=attn_impl, mesh=mesh,
+                    window=dict(k_win=k_win, v_win=v_win, substep=k_idx,
+                                start_lens=start_lens),
+                )
+            else:
+                logits, k_cache, v_cache = forward_fn(
+                    cfg, params, k_cache, v_cache, toks, meta,
+                    attn_impl=attn_impl, mesh=mesh,
+                )
             newtok = sample_logits(
                 logits, jax.random.fold_in(key, k_idx), state, **flags
             )
             if track_history:
                 state = append_to_ring(state, newtok, valid)
             ctx = jnp.where(valid, ctx + 1, ctx)
+            if window_mode:
+                return (k_cache, v_cache, newtok, ctx, state, k_win, v_win), newtok
             return (k_cache, v_cache, newtok, ctx, state), newtok
 
-        init = (k_cache, v_cache, last_tokens, context_lens, samp)
-        (k_cache, v_cache, *_), toks_seq = jax.lax.scan(
-            substep, init, jnp.arange(num_steps, dtype=jnp.int32)
-        )
+        if window_mode:
+            init = (k_cache, v_cache, last_tokens, context_lens, samp,
+                    k_win0, v_win0)
+            (k_cache, v_cache, _, _, _, k_win, v_win), toks_seq = jax.lax.scan(
+                substep, init, jnp.arange(num_steps, dtype=jnp.int32)
+            )
+            # One span commit per layer for the whole window.
+            if mesh is not None:
+                from nanovllm_tpu.ops.pallas.sharded import sharded_kv_window_commit
+
+                def commit(l, caches):
+                    kc, vc = caches
+                    return sharded_kv_window_commit(
+                        mesh,
+                        jax.lax.dynamic_index_in_dim(k_win, l, 0, keepdims=False),
+                        jax.lax.dynamic_index_in_dim(v_win, l, 0, keepdims=False),
+                        kc, vc, l, block_tables, start_lens, seq_valid,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+            else:
+                from nanovllm_tpu.ops.pallas.paged_attention import kv_window_commit
+
+                def commit(l, caches):
+                    kc, vc = caches
+                    return kv_window_commit(
+                        jax.lax.dynamic_index_in_dim(k_win, l, 0, keepdims=False),
+                        jax.lax.dynamic_index_in_dim(v_win, l, 0, keepdims=False),
+                        kc, vc, l, block_tables, start_lens, seq_valid,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+
+            k_cache, v_cache = jax.lax.fori_loop(
+                0, cfg.num_hidden_layers, commit, (k_cache, v_cache)
+            )
+        else:
+            init = (k_cache, v_cache, last_tokens, context_lens, samp)
+            (k_cache, v_cache, *_), toks_seq = jax.lax.scan(
+                substep, init, jnp.arange(num_steps, dtype=jnp.int32)
+            )
         return toks_seq, k_cache, v_cache
 
     return jax.jit(fn, donate_argnums=(1, 2))

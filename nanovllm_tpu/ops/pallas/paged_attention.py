@@ -45,8 +45,57 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
-# Sublane tile granularity of the HBM cache layout on the block_size dim.
-_TILE = 8
+
+def _sublane_tile(dtype) -> int:
+    """HBM tile granularity on the second-minor dim: (8,128) for 2/4-byte
+    dtypes, (32,128) for 1-byte (int8/fp8) — sub-tile DMA slices don't
+    lower, so RMW commits must work at this granularity."""
+    return 32 if jnp.dtype(dtype).itemsize == 1 else 8
+
+
+def _flash_accumulate(
+    q_ref, k, v, k_new_ref, v_new_ref, it, ctx, m_scr, l_scr, acc_scr,
+    *, scale, block_size, kv_heads, groups, head_dim,
+):
+    """One flash-softmax block update (shared by the plain and quantized
+    kernels). k/v: [Hkv, BS, Dh] f32, already dequantized. k_new_ref=None
+    skips the current-token patch (partial/history attention)."""
+    q = q_ref[0].reshape(kv_heads, groups, head_dim).astype(jnp.float32) * scale
+
+    if k_new_ref is not None:
+        # Patch this step's token (position ctx-1) into the fetched block:
+        # attention must see it, but it is committed to HBM by a separate
+        # kernel, concurrently.
+        pos = it * block_size + jax.lax.broadcasted_iota(
+            jnp.int32, (kv_heads, block_size, head_dim), 1
+        )
+        is_new = pos == ctx - 1
+        k = jnp.where(is_new, k_new_ref[0][:, None, :].astype(jnp.float32), k)
+        v = jnp.where(is_new, v_new_ref[0][:, None, :].astype(jnp.float32), v)
+
+    # [Hkv, G, BS] — batch over kv heads, contract head_dim.
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    kpos = it * block_size + jax.lax.broadcasted_iota(
+        jnp.int32, (kv_heads, groups, block_size), 2
+    )
+    scores = jnp.where(kpos < ctx, scores, _NEG_INF)
+
+    m = m_scr[...]
+    m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+    alpha = jnp.exp(m - m_new)
+    p = jnp.exp(scores - m_new)
+    l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p, v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[...] = acc_scr[...] * alpha + pv
+    m_scr[...] = m_new
 
 
 # ---------------------------------------------------------------------------
@@ -91,43 +140,68 @@ def _attn_kernel(
 
     @pl.when(it < nb)
     def _():
-        q = q_ref[0].reshape(kv_heads, groups, head_dim).astype(jnp.float32) * scale
         k = k_blk_ref[0, 0].astype(jnp.float32)  # [Hkv, BS, Dh]
         v = v_blk_ref[0, 0].astype(jnp.float32)
+        _flash_accumulate(
+            q_ref, k, v, k_new_ref, v_new_ref, it, ctx, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=block_size, kv_heads=kv_heads,
+            groups=groups, head_dim=head_dim,
+        )
 
-        # Patch this step's token (position ctx-1) into the fetched block:
-        # attention must see it, but it is committed to HBM by a separate
-        # kernel, concurrently.
-        pos = it * block_size + jax.lax.broadcasted_iota(
-            jnp.int32, (kv_heads, block_size, head_dim), 1
-        )
-        is_new = pos == ctx - 1
-        k = jnp.where(is_new, k_new_ref[0][:, None, :].astype(jnp.float32), k)
-        v = jnp.where(is_new, v_new_ref[0][:, None, :].astype(jnp.float32), v)
+    @pl.when(it == last_it)
+    def _():
+        l = l_scr[...]
+        out = jnp.where(l > 0, acc_scr[...] / jnp.maximum(l, 1e-30), 0.0)
+        out_ref[0] = out.reshape(kv_heads * groups, head_dim).astype(out_ref.dtype)
 
-        # [Hkv, G, BS] — batch over kv heads, contract head_dim.
-        scores = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        kpos = it * block_size + jax.lax.broadcasted_iota(
-            jnp.int32, (kv_heads, groups, block_size), 2
-        )
-        scores = jnp.where(kpos < ctx, scores, _NEG_INF)
 
-        m = m_scr[...]
-        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(scores - m_new)
-        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p, v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+def _attn_kernel_quant(
+    # scalar prefetch
+    layer_ref,
+    block_tables_ref,
+    context_lens_ref,
+    # inputs (pipeline-fetched blocks)
+    q_ref,              # [1, Hq, Dh] VMEM
+    k_new_ref,          # [1, Hkv, Dh] VMEM (full precision — patched raw)
+    v_new_ref,          # [1, Hkv, Dh] VMEM
+    k_blk_ref,          # [1, 1, Hkv, BS, Dh] VMEM quantized data
+    v_blk_ref,
+    ks_ref,             # [1, 1, Hkv, BS] f32 per-row scales
+    vs_ref,
+    # output
+    out_ref,
+    # scratch
+    m_scr, l_scr, acc_scr,
+    *,
+    scale: float,
+    block_size: int,
+    kv_heads: int,
+    groups: int,
+    head_dim: int,
+):
+    """Quantized-KV flash decode: dequantize the fetched block in VMEM with
+    its per-(token,head) scales, then the shared flash update."""
+    s = pl.program_id(0)
+    it = pl.program_id(1)
+    last_it = pl.num_programs(1) - 1
+    ctx = context_lens_ref[s]
+    nb = pl.cdiv(ctx, block_size)
+
+    @pl.when(it == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(it < nb)
+    def _():
+        k = k_blk_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0][..., None]
+        v = v_blk_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0][..., None]
+        _flash_accumulate(
+            q_ref, k, v, k_new_ref, v_new_ref, it, ctx, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=block_size, kv_heads=kv_heads,
+            groups=groups, head_dim=head_dim,
         )
-        acc_scr[...] = acc_scr[...] * alpha + pv
-        m_scr[...] = m_new
 
     @pl.when(it == last_it)
     def _():
@@ -152,7 +226,15 @@ def paged_attention_decode(
 ) -> jax.Array:
     """Flash paged decode attention; the current token's K/V is taken from
     k_new/v_new (VMEM patch), NOT from the cache — commit the cache with
-    `kv_cache_commit`. Returns [S, Hq, Dh]; padded rows (ctx == 0) are 0."""
+    `kv_cache_commit`. Returns [S, Hq, Dh]; padded rows (ctx == 0) are 0.
+
+    Quantized tuple caches (data int8/fp8, per-row scale f32) fetch the
+    scale block through the same pipelined gather and dequantize in VMEM —
+    KV HBM traffic halves/quarters vs bf16 (BASELINE config 3/5)."""
+    k_scales = v_scales = None
+    if isinstance(k_cache, tuple):
+        k_cache, k_scales = k_cache
+        v_cache, v_scales = v_cache
     S, Hq, Dh = q.shape
     L, NB, Hkv, BS, _ = k_cache.shape
     groups = Hq // Hkv
@@ -167,20 +249,45 @@ def paged_attention_decode(
         blk = tables_ref[s, jnp.minimum(it, nb - 1)]
         return (layer_ref[0], blk, 0, 0, 0)
 
+    def scale_index(s, it, layer_ref, tables_ref, ctx_ref):
+        nb = jnp.maximum(pl.cdiv(ctx_ref[s], BS), 1)
+        blk = tables_ref[s, jnp.minimum(it, nb - 1)]
+        return (layer_ref[0], blk, 0, 0)
+
+    quantized = k_scales is not None
     kernel = functools.partial(
-        _attn_kernel,
+        _attn_kernel_quant if quantized else _attn_kernel,
         scale=scale, block_size=BS, kv_heads=Hkv, groups=groups, head_dim=Dh,
     )
+    in_specs = [
+        pl.BlockSpec((1, Hq, Dh), lambda s, it, *p: (s, 0, 0)),
+        pl.BlockSpec((1, Hkv, Dh), lambda s, it, *p: (s, 0, 0)),
+        pl.BlockSpec((1, Hkv, Dh), lambda s, it, *p: (s, 0, 0)),
+        pl.BlockSpec((1, 1, Hkv, BS, Dh), kv_index),
+        pl.BlockSpec((1, 1, Hkv, BS, Dh), kv_index),
+    ]
+    operands = [
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        tables,
+        context_lens,
+        q,
+        # Quantized caches keep the patch rows at full precision (q.dtype);
+        # they only exist in VMEM.
+        k_new.astype(q.dtype if quantized else k_cache.dtype),
+        v_new.astype(q.dtype if quantized else v_cache.dtype),
+        k_cache,
+        v_cache,
+    ]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, Hkv, BS), scale_index),
+            pl.BlockSpec((1, 1, Hkv, BS), scale_index),
+        ]
+        operands += [k_scales, v_scales]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(S, MAXBLK),
-        in_specs=[
-            pl.BlockSpec((1, Hq, Dh), lambda s, it, *p: (s, 0, 0)),
-            pl.BlockSpec((1, Hkv, Dh), lambda s, it, *p: (s, 0, 0)),
-            pl.BlockSpec((1, Hkv, Dh), lambda s, it, *p: (s, 0, 0)),
-            pl.BlockSpec((1, 1, Hkv, BS, Dh), kv_index),
-            pl.BlockSpec((1, 1, Hkv, BS, Dh), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hq, Dh), lambda s, it, *p: (s, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((Hkv, groups, 1), jnp.float32),
@@ -193,16 +300,7 @@ def paged_attention_decode(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, Hq, Dh), q.dtype),
         interpret=interpret,
-    )(
-        jnp.asarray(layer_idx, jnp.int32).reshape(1),
-        tables,
-        context_lens,
-        q,
-        k_new.astype(k_cache.dtype),
-        v_new.astype(v_cache.dtype),
-        k_cache,
-        v_cache,
-    )
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
@@ -230,6 +328,7 @@ def _commit_kernel(
     block_size: int,
     kv_heads: int,
     head_dim: int,
+    tile: int,
 ):
     c = pl.program_id(0)
     layer = layer_ref[0]
@@ -239,10 +338,10 @@ def _commit_kernel(
         ctx = context_lens_ref[s]
         pos = jnp.maximum(ctx - 1, 0)
         blk = block_tables_ref[s, pos // block_size]
-        base = (pos % block_size) // _TILE * _TILE
+        base = (pos % block_size) // tile * tile
         cache = k_out if which == 0 else v_out
         return pltpu.make_async_copy(
-            cache.at[layer, blk, :, pl.ds(base, _TILE), :],
+            cache.at[layer, blk, :, pl.ds(base, tile), :],
             tiles.at[i, which],
             sems.at[i, which],
         )
@@ -252,11 +351,11 @@ def _commit_kernel(
         ctx = context_lens_ref[s]
         pos = jnp.maximum(ctx - 1, 0)
         blk = block_tables_ref[s, pos // block_size]
-        base = (pos % block_size) // _TILE * _TILE
+        base = (pos % block_size) // tile * tile
         cache = k_out if which == 0 else v_out
         return pltpu.make_async_copy(
             tiles.at[i, which],
-            cache.at[layer, blk, :, pl.ds(base, _TILE), :],
+            cache.at[layer, blk, :, pl.ds(base, tile), :],
             sems.at[i, which],
         )
 
@@ -275,11 +374,11 @@ def _commit_kernel(
         @pl.when(valid(i))
         def _(i=i):
             ctx = context_lens_ref[c * chunk + i]
-            j = (ctx - 1) % block_size % _TILE
+            j = (ctx - 1) % block_size % tile
             rmw_dma(i, 0).wait()
             rmw_dma(i, 1).wait()
             sel = jax.lax.broadcasted_iota(
-                jnp.int32, (kv_heads, _TILE, head_dim), 1
+                jnp.int32, (kv_heads, tile, head_dim), 1
             ) == j
             tiles[i, 0] = jnp.where(
                 sel, k_new_ref[i][:, None, :].astype(tiles.dtype), tiles[i, 0]
@@ -298,6 +397,111 @@ def _commit_kernel(
             wr_dma(i, 1).wait()
 
 
+def _commit_kernel_quant(
+    # scalar prefetch
+    layer_ref,
+    block_tables_ref,
+    context_lens_ref,
+    # inputs
+    kq_ref,             # [C, Hkv, Dh] VMEM — pre-quantized data rows
+    vq_ref,
+    ks_row_ref,         # [C, Hkv] f32 — per-(token,head) scales
+    vs_row_ref,
+    k_in, v_in, ks_in, vs_in,  # aliased inputs (access via the outputs)
+    # outputs (aliased caches)
+    k_out,              # [L, NB, Hkv, BS, Dh] quantized data
+    v_out,
+    ks_out,             # [L, NB, Hkv, BS] f32 scale planes
+    vs_out,
+    # scratch
+    tiles,              # [C, 2, Hkv, TILE, Dh] VMEM (data dtype)
+    stiles,             # [C, 2, Hkv, LW] f32 VMEM (scale-plane lane tile)
+    sems,               # [C, 4] DMA semaphores
+    *,
+    chunk: int,
+    block_size: int,
+    kv_heads: int,
+    head_dim: int,
+    tile: int,
+    lane_tile: int,
+):
+    """Quantized-cache commit: RMW the data tile AND the scale-plane lane
+    tile for each sequence's row (all reads in flight, then all writes)."""
+    c = pl.program_id(0)
+    layer = layer_ref[0]
+
+    def seq_addr(i):
+        s = c * chunk + i
+        ctx = context_lens_ref[s]
+        pos = jnp.maximum(ctx - 1, 0)
+        blk = block_tables_ref[s, pos // block_size]
+        return pos, blk
+
+    def data_dma(i, which, to_hbm):
+        pos, blk = seq_addr(i)
+        base = (pos % block_size) // tile * tile
+        cache = k_out if which == 0 else v_out
+        hbm = cache.at[layer, blk, :, pl.ds(base, tile), :]
+        vmem = tiles.at[i, which]
+        src, dst = (vmem, hbm) if to_hbm else (hbm, vmem)
+        return pltpu.make_async_copy(src, dst, sems.at[i, which])
+
+    def scale_dma(i, which, to_hbm):
+        pos, blk = seq_addr(i)
+        base = (pos % block_size) // lane_tile * lane_tile
+        plane = ks_out if which == 0 else vs_out
+        hbm = plane.at[layer, blk, :, pl.ds(base, lane_tile)]
+        vmem = stiles.at[i, which]
+        src, dst = (vmem, hbm) if to_hbm else (hbm, vmem)
+        return pltpu.make_async_copy(src, dst, sems.at[i, 2 + which])
+
+    def valid(i):
+        return context_lens_ref[c * chunk + i] > 0
+
+    for i in range(chunk):
+        @pl.when(valid(i))
+        def _(i=i):
+            data_dma(i, 0, False).start()
+            data_dma(i, 1, False).start()
+            scale_dma(i, 0, False).start()
+            scale_dma(i, 1, False).start()
+
+    for i in range(chunk):
+        @pl.when(valid(i))
+        def _(i=i):
+            ctx = context_lens_ref[c * chunk + i]
+            pos = ctx - 1
+            j = pos % block_size % tile
+            data_dma(i, 0, False).wait()
+            data_dma(i, 1, False).wait()
+            sel = jax.lax.broadcasted_iota(
+                jnp.int32, (kv_heads, tile, head_dim), 1
+            ) == j
+            tiles[i, 0] = jnp.where(sel, kq_ref[i][:, None, :], tiles[i, 0])
+            tiles[i, 1] = jnp.where(sel, vq_ref[i][:, None, :], tiles[i, 1])
+            data_dma(i, 0, True).start()
+            data_dma(i, 1, True).start()
+
+            js = pos % block_size % lane_tile
+            scale_dma(i, 0, False).wait()
+            scale_dma(i, 1, False).wait()
+            ssel = jax.lax.broadcasted_iota(
+                jnp.int32, (kv_heads, lane_tile), 1
+            ) == js
+            stiles[i, 0] = jnp.where(ssel, ks_row_ref[i][:, None], stiles[i, 0])
+            stiles[i, 1] = jnp.where(ssel, vs_row_ref[i][:, None], stiles[i, 1])
+            scale_dma(i, 0, True).start()
+            scale_dma(i, 1, True).start()
+
+    for i in range(chunk):
+        @pl.when(valid(i))
+        def _(i=i):
+            data_dma(i, 0, True).wait()
+            data_dma(i, 1, True).wait()
+            scale_dma(i, 0, True).wait()
+            scale_dma(i, 1, True).wait()
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(2, 3))
 def kv_cache_commit(
     k_new: jax.Array,          # [S, Hkv, Dh]
@@ -311,7 +515,14 @@ def kv_cache_commit(
     interpret: bool = False,
 ) -> tuple:
     """Write each sequence's new K/V row at position ctx-1 into the paged
-    caches (RMW at the HBM tile granularity). Returns the updated caches."""
+    caches (RMW at the HBM tile granularity — (8,128) for 2/4-byte dtypes,
+    (32,128) for quantized 1-byte data). Quantized tuple caches also RMW
+    the f32 scale plane's lane tile; rows are quantized here (per-(token,
+    head) amax) before entering the kernel. Returns the updated caches."""
+    k_scales = v_scales = None
+    if isinstance(k_cache, tuple):
+        k_cache, k_scales = k_cache
+        v_cache, v_scales = v_cache
     S, Hkv, Dh = k_new.shape
     L, NB, _, BS, _ = k_cache.shape
     chunk = min(S, 64)
@@ -326,9 +537,75 @@ def kv_cache_commit(
         tables = jnp.pad(tables, pad + [(0, 0)])
         context_lens = jnp.pad(context_lens, pad)
 
+    tile = _sublane_tile(k_cache.dtype)
+    if BS % tile:
+        tile = BS  # tiny blocks: RMW the whole block
+    quantized = k_scales is not None
+
+    if not quantized:
+        kernel = functools.partial(
+            _commit_kernel,
+            chunk=chunk, block_size=BS, kv_heads=Hkv, head_dim=Dh, tile=tile,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(Spad // chunk,),
+            in_specs=[
+                pl.BlockSpec((chunk, Hkv, Dh), lambda c, *p: (c, 0, 0)),
+                pl.BlockSpec((chunk, Hkv, Dh), lambda c, *p: (c, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((chunk, 2, Hkv, tile, Dh), k_cache.dtype),
+                pltpu.SemaphoreType.DMA((chunk, 2)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+                jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            ),
+            # Operand indices include the 3 scalar-prefetch args: k_new=3,
+            # v_new=4, k_cache=5, v_cache=6.
+            input_output_aliases={5: 0, 6: 1},
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(
+            jnp.asarray(layer_idx, jnp.int32).reshape(1),
+            tables,
+            context_lens,
+            k_new.astype(k_cache.dtype),
+            v_new.astype(v_cache.dtype),
+            k_cache,
+            v_cache,
+        )
+
+    # Quantize the new rows (cheap XLA prologue, fuses into the step).
+    def qrows(x):
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1)  # [S, Hkv]
+        if k_cache.dtype == jnp.int8:
+            scales = jnp.maximum(amax / 127.0, 1e-10)
+            q = jnp.clip(jnp.round(xf / scales[..., None]), -127, 127)
+        else:
+            scales = jnp.maximum(amax / 448.0, 1e-10)
+            q = xf / scales[..., None]
+        return q.astype(k_cache.dtype), scales
+
+    kq, ks_row = qrows(k_new)
+    vq, vs_row = qrows(v_new)
+    lane_tile = 128 if BS % 128 == 0 else BS
     kernel = functools.partial(
-        _commit_kernel,
+        _commit_kernel_quant,
         chunk=chunk, block_size=BS, kv_heads=Hkv, head_dim=Dh,
+        tile=tile, lane_tile=lane_tile,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -336,36 +613,586 @@ def kv_cache_commit(
         in_specs=[
             pl.BlockSpec((chunk, Hkv, Dh), lambda c, *p: (c, 0, 0)),
             pl.BlockSpec((chunk, Hkv, Dh), lambda c, *p: (c, 0, 0)),
+            pl.BlockSpec((chunk, Hkv), lambda c, *p: (c, 0)),
+            pl.BlockSpec((chunk, Hkv), lambda c, *p: (c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((chunk, 2, Hkv, _TILE, Dh), k_cache.dtype),
-            pltpu.SemaphoreType.DMA((chunk, 2)),
+            pltpu.VMEM((chunk, 2, Hkv, tile, Dh), k_cache.dtype),
+            pltpu.VMEM((chunk, 2, Hkv, lane_tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((chunk, 4)),
         ],
     )
-    return pl.pallas_call(
+    k_data, v_data, k_s, v_s = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(k_scales.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_scales.shape, jnp.float32),
         ),
-        # Operand indices include the 3 scalar-prefetch args: k_new=3,
-        # v_new=4, k_cache=5, v_cache=6.
-        input_output_aliases={5: 0, 6: 1},
+        # Operands after the 3 scalar-prefetch args: kq=3, vq=4, ks_row=5,
+        # vs_row=6, k_cache=7, v_cache=8, k_scales=9, v_scales=10.
+        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
         tables,
         context_lens,
-        k_new.astype(k_cache.dtype),
-        v_new.astype(v_cache.dtype),
+        kq,
+        vq,
+        ks_row,
+        vs_row,
         k_cache,
         v_cache,
+        k_scales,
+        v_scales,
     )
+    return (k_data, k_s), (v_data, v_s)
+
+
+# ---------------------------------------------------------------------------
+# Window-mode decode: partial (history-only) attention + span commit.
+#
+# A K-step decode window commits each substep's KV row before the next
+# substep can attend it; per-row RMW commits cost ~128 DMA issues per layer
+# per substep (measured ~25-29 us/layer — DMA-issue-bound, 0.7 ms of every
+# substep at 28 layers). Window mode removes them: attention splits into
+#   history = flash attention over the COMMITTED cache (positions <
+#             win_start, constant across the window; no in-VMEM patching),
+#   window  = plain XLA attention over the window's own rows (carried in a
+#             [L, S, Hkv, K, Dh] staging buffer),
+# flash-merged by (m, l); the cache is committed ONCE per layer per window
+# as a contiguous span (two RMW pieces max). DMA issues drop K-fold.
+# ---------------------------------------------------------------------------
+
+def _attn_partial_kernel(
+    layer_ref, block_tables_ref, kv_lens_ref,
+    q_ref,              # [1, Hq, Dh]
+    k_blk_ref,          # [1, 1, Hkv, BS, Dh]
+    v_blk_ref,
+    acc_ref,            # [1, Hq, Dh] f32 out (unnormalized)
+    m_ref,              # [1, Hq] f32 out
+    l_ref,              # [1, Hq] f32 out
+    m_scr, l_scr, acc_scr,
+    *,
+    scale, block_size, kv_heads, groups, head_dim,
+):
+    s = pl.program_id(0)
+    it = pl.program_id(1)
+    last_it = pl.num_programs(1) - 1
+    ctx = kv_lens_ref[s]  # committed history length (EXCLUDES window rows)
+    nb = pl.cdiv(ctx, block_size)
+
+    @pl.when(it == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(it < nb)
+    def _():
+        k = k_blk_ref[0, 0].astype(jnp.float32)
+        v = v_blk_ref[0, 0].astype(jnp.float32)
+        _flash_accumulate(
+            q_ref, k, v, None, None, it, ctx, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=block_size, kv_heads=kv_heads,
+            groups=groups, head_dim=head_dim,
+        )
+
+    @pl.when(it == last_it)
+    def _():
+        acc_ref[0] = acc_scr[...].reshape(kv_heads * groups, head_dim)
+        m_ref[0] = m_scr[...].reshape(kv_heads * groups)
+        l_ref[0] = l_scr[...].reshape(kv_heads * groups)
+
+
+def _attn_partial_kernel_quant(
+    layer_ref, block_tables_ref, kv_lens_ref,
+    q_ref, k_blk_ref, v_blk_ref, ks_ref, vs_ref,
+    acc_ref, m_ref, l_ref,
+    m_scr, l_scr, acc_scr,
+    *,
+    scale, block_size, kv_heads, groups, head_dim,
+):
+    s = pl.program_id(0)
+    it = pl.program_id(1)
+    last_it = pl.num_programs(1) - 1
+    ctx = kv_lens_ref[s]
+    nb = pl.cdiv(ctx, block_size)
+
+    @pl.when(it == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(it < nb)
+    def _():
+        k = k_blk_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0][..., None]
+        v = v_blk_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0][..., None]
+        _flash_accumulate(
+            q_ref, k, v, None, None, it, ctx, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=block_size, kv_heads=kv_heads,
+            groups=groups, head_dim=head_dim,
+        )
+
+    @pl.when(it == last_it)
+    def _():
+        acc_ref[0] = acc_scr[...].reshape(kv_heads * groups, head_dim)
+        m_ref[0] = m_scr[...].reshape(kv_heads * groups)
+        l_ref[0] = l_scr[...].reshape(kv_heads * groups)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_attention_decode_partial(
+    q: jax.Array,              # [S, Hq, Dh]
+    k_cache,                   # array or (data, scale) tuple
+    v_cache,
+    layer_idx: jax.Array,
+    block_tables: jax.Array,   # [S, MAXBLK]
+    kv_lens: jax.Array,        # [S] committed history length (window excluded)
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> tuple:
+    """Flash attention over the committed cache only. Returns the raw flash
+    state (acc [S,Hq,Dh] f32 unnormalized, m [S,Hq], l [S,Hq]) for merging
+    with the in-window attention. Rows with kv_lens == 0 return
+    (0, -inf, 0) — the merge gives them zero weight."""
+    k_scales = v_scales = None
+    if isinstance(k_cache, tuple):
+        k_cache, k_scales = k_cache
+        v_cache, v_scales = v_cache
+    S, Hq, Dh = q.shape
+    L, NB, Hkv, BS, _ = k_cache.shape
+    groups = Hq // Hkv
+    MAXBLK = block_tables.shape[1]
+    tables = jnp.clip(block_tables, 0, NB - 1)
+
+    def kv_index(s, it, layer_ref, tables_ref, len_ref):
+        nb = jnp.maximum(pl.cdiv(len_ref[s], BS), 1)
+        blk = tables_ref[s, jnp.minimum(it, nb - 1)]
+        return (layer_ref[0], blk, 0, 0, 0)
+
+    def scale_index(s, it, layer_ref, tables_ref, len_ref):
+        nb = jnp.maximum(pl.cdiv(len_ref[s], BS), 1)
+        blk = tables_ref[s, jnp.minimum(it, nb - 1)]
+        return (layer_ref[0], blk, 0, 0)
+
+    quantized = k_scales is not None
+    kernel = functools.partial(
+        _attn_partial_kernel_quant if quantized else _attn_partial_kernel,
+        scale=scale, block_size=BS, kv_heads=Hkv, groups=groups, head_dim=Dh,
+    )
+    in_specs = [
+        pl.BlockSpec((1, Hq, Dh), lambda s, it, *p: (s, 0, 0)),
+        pl.BlockSpec((1, 1, Hkv, BS, Dh), kv_index),
+        pl.BlockSpec((1, 1, Hkv, BS, Dh), kv_index),
+    ]
+    operands = [
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        tables,
+        kv_lens,
+        q,
+        k_cache,
+        v_cache,
+    ]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, Hkv, BS), scale_index),
+            pl.BlockSpec((1, 1, Hkv, BS), scale_index),
+        ]
+        operands += [k_scales, v_scales]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S, MAXBLK),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, Hq, Dh), lambda s, it, *p: (s, 0, 0)),
+            pl.BlockSpec((1, Hq), lambda s, it, *p: (s, 0)),
+            pl.BlockSpec((1, Hq), lambda s, it, *p: (s, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, groups, 1), jnp.float32),
+            pltpu.VMEM((Hkv, groups, 1), jnp.float32),
+            pltpu.VMEM((Hkv, groups, Dh), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((S, Hq, Dh), jnp.float32),
+            jax.ShapeDtypeStruct((S, Hq), jnp.float32),
+            jax.ShapeDtypeStruct((S, Hq), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _window_commit_kernel(
+    layer_ref, block_tables_ref, start_ref, valid_ref,
+    kw_ref,             # [C, Hkv, K, Dh] window rows (cache dtype)
+    vw_ref,
+    k_in, v_in,
+    k_out, v_out,
+    tiles,              # [C, 2, 2, Hkv, SP, Dh] (piece, array)
+    sems,               # [C, 2, 2]
+    *,
+    chunk, block_size, kv_heads, head_dim, win, sp,
+):
+    c = pl.program_id(0)
+    layer = layer_ref[0]
+
+    def piece_addr(i, piece):
+        s = c * chunk + i
+        start = start_ref[s]
+        # Piece 0 begins at `start`; piece 1 begins at the next block
+        # boundary (only live when the span crosses it).
+        p0 = jnp.where(piece == 0, start, (start // block_size + 1) * block_size)
+        end = start + win - 1
+        blk = block_tables_ref[s, jnp.minimum(p0 // block_size, block_tables_ref.shape[1] - 1)]
+        base = jnp.clip((p0 % block_size) // _TILE_MIN * _TILE_MIN, 0, block_size - sp)
+        live = (p0 <= end) & (valid_ref[s] > 0)
+        return blk, base, live
+
+    def dma(i, piece, which, to_hbm):
+        blk, base, _ = piece_addr(i, piece)
+        cache = k_out if which == 0 else v_out
+        hbm = cache.at[layer, blk, :, pl.ds(base, sp), :]
+        vmem = tiles.at[i, piece, which]
+        src, dst = (vmem, hbm) if to_hbm else (hbm, vmem)
+        return pltpu.make_async_copy(src, dst, sems.at[i, piece * 2 + which])
+
+    for i in range(chunk):
+        for piece in range(2):
+            _, _, live = piece_addr(i, piece)
+            @pl.when(live)
+            def _(i=i, piece=piece):
+                dma(i, piece, 0, False).start()
+                dma(i, piece, 1, False).start()
+
+    for i in range(chunk):
+        s = c * chunk + i
+        for piece in range(2):
+            blk, base, live = piece_addr(i, piece)
+            @pl.when(live)
+            def _(i=i, piece=piece, blk=blk, base=base):
+                start = start_ref[s]
+                p0 = jnp.where(piece == 0, start,
+                               (start // block_size + 1) * block_size)
+                blk_lo = p0 // block_size * block_size
+                dma(i, piece, 0, False).wait()
+                dma(i, piece, 1, False).wait()
+                # Shifted-copy patch via one-hot batched matmul: span row r
+                # (absolute pos blk_lo + base + r) takes window row w where
+                # start + w == that position.
+                r_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_heads, sp, win), 1)
+                w_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_heads, sp, win), 2)
+                abs_pos = blk_lo + base + r_iota
+                onehot = (abs_pos == start + w_iota) & (w_iota < win)
+                in_span = jnp.sum(onehot, axis=2, keepdims=True) > 0  # [Hkv, SP, 1]
+                for which, (wref, out_tiles) in enumerate(((kw_ref, 0), (vw_ref, 1))):
+                    rows = jax.lax.dot_general(
+                        onehot.astype(jnp.float32),
+                        wref[i].astype(jnp.float32),
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )  # [Hkv, SP, Dh]
+                    tiles[i, piece, which] = jnp.where(
+                        in_span, rows.astype(tiles.dtype), tiles[i, piece, which]
+                    )
+                dma(i, piece, 0, True).start()
+                dma(i, piece, 1, True).start()
+
+    for i in range(chunk):
+        for piece in range(2):
+            _, _, live = piece_addr(i, piece)
+            @pl.when(live)
+            def _(i=i, piece=piece):
+                dma(i, piece, 0, True).wait()
+                dma(i, piece, 1, True).wait()
+
+
+_TILE_MIN = 8
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(2, 3))
+def kv_window_commit(
+    k_win: jax.Array,          # [S, Hkv, K, Dh] full-precision window rows
+    v_win: jax.Array,
+    k_cache,                   # array or (data, scale) tuple (donated)
+    v_cache,
+    layer_idx: jax.Array,
+    block_tables: jax.Array,   # [S, MAXBLK]
+    start_lens: jax.Array,     # [S] first window position (ctx0 - 1)
+    valid: jax.Array,          # [S] int32/bool — 0 rows are skipped
+    *,
+    interpret: bool = False,
+):
+    """Commit a decode window's K rows per sequence as ONE contiguous span
+    (at most two RMW pieces when it crosses a block boundary) instead of K
+    per-substep row commits — K-fold fewer DMA issues. Quantized tuple
+    caches quantize the rows here (per-(position, head) amax) and commit
+    the scale-plane spans the same way."""
+    k_scales = v_scales = None
+    if isinstance(k_cache, tuple):
+        k_cache, k_scales = k_cache
+        v_cache, v_scales = v_cache
+    S, Hkv, W, Dh = k_win.shape
+    L, NB, _, BS, _ = k_cache.shape
+    assert W <= BS, "window must fit within one block span"
+    tables = jnp.clip(block_tables, 0, NB - 1)
+    valid = valid.astype(jnp.int32)
+
+    quantized = k_scales is not None
+    if quantized:
+        def qrows(x):
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1)  # [S, Hkv, W]
+            if k_cache.dtype == jnp.int8:
+                scales = jnp.maximum(amax / 127.0, 1e-10)
+                qv = jnp.clip(jnp.round(xf / scales[..., None]), -127, 127)
+            else:
+                scales = jnp.maximum(amax / 448.0, 1e-10)
+                qv = xf / scales[..., None]
+            return qv.astype(k_cache.dtype), scales
+
+        kq, ks_rows = qrows(k_win)
+        vq, vs_rows = qrows(v_win)
+    else:
+        kq, vq = k_win.astype(k_cache.dtype), v_win.astype(v_cache.dtype)
+
+    chunk = min(S, 32)
+    Spad = -(-S // chunk) * chunk
+    if Spad != S:
+        pads = [(0, Spad - S)]
+        kq = jnp.pad(kq, pads + [(0, 0)] * 3)
+        vq = jnp.pad(vq, pads + [(0, 0)] * 3)
+        tables = jnp.pad(tables, pads + [(0, 0)])
+        start_lens = jnp.pad(start_lens, pads)
+        valid = jnp.pad(valid, pads)
+        if quantized:
+            ks_rows = jnp.pad(ks_rows, pads + [(0, 0)] * 2)
+            vs_rows = jnp.pad(vs_rows, pads + [(0, 0)] * 2)
+
+    tile = _sublane_tile(k_cache.dtype)
+    # Static span size: covers W rows at any tile offset, capped at BS.
+    sp = min(BS, ((W - 1) // tile + 2) * tile)
+
+    kernel = functools.partial(
+        _window_commit_kernel if not quantized else _window_commit_kernel_quant,
+        chunk=chunk, block_size=BS, kv_heads=Hkv, head_dim=Dh, win=W, sp=sp,
+    )
+    if not quantized:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(Spad // chunk,),
+            in_specs=[
+                pl.BlockSpec((chunk, Hkv, W, Dh), lambda c, *p: (c, 0, 0, 0)),
+                pl.BlockSpec((chunk, Hkv, W, Dh), lambda c, *p: (c, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((chunk, 2, 2, Hkv, sp, Dh), k_cache.dtype),
+                pltpu.SemaphoreType.DMA((chunk, 4)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+                jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            ),
+            # Scalar prefetch: 4; then kq=4, vq=5, k_cache=6, v_cache=7.
+            input_output_aliases={6: 0, 7: 1},
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(
+            jnp.asarray(layer_idx, jnp.int32).reshape(1),
+            tables, start_lens, valid,
+            kq, vq, k_cache, v_cache,
+        )
+
+    lane_tile = 128 if BS % 128 == 0 else BS
+    sp_l = min(BS, ((W - 1) // lane_tile + 2) * lane_tile)
+    kernel = functools.partial(
+        _window_commit_kernel_quant,
+        chunk=chunk, block_size=BS, kv_heads=Hkv, head_dim=Dh, win=W, sp=sp,
+        lane_tile=lane_tile, sp_l=sp_l,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Spad // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, Hkv, W, Dh), lambda c, *p: (c, 0, 0, 0)),
+            pl.BlockSpec((chunk, Hkv, W, Dh), lambda c, *p: (c, 0, 0, 0)),
+            pl.BlockSpec((chunk, Hkv, W), lambda c, *p: (c, 0, 0)),
+            pl.BlockSpec((chunk, Hkv, W), lambda c, *p: (c, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, 2, 2, Hkv, sp, Dh), k_cache.dtype),
+            pltpu.VMEM((chunk, 2, 2, Hkv, sp_l), jnp.float32),
+            pltpu.SemaphoreType.DMA((chunk, 8)),
+        ],
+    )
+    k_data, v_data, k_s, v_s = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(k_scales.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_scales.shape, jnp.float32),
+        ),
+        # Scalar prefetch: 4; kq=4, vq=5, ks_rows=6, vs_rows=7, caches 8-11.
+        input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        tables, start_lens, valid,
+        kq, vq, ks_rows, vs_rows,
+        k_cache, v_cache, k_scales, v_scales,
+    )
+    return (k_data, k_s), (v_data, v_s)
+
+
+def _window_commit_kernel_quant(
+    layer_ref, block_tables_ref, start_ref, valid_ref,
+    kw_ref, vw_ref,          # [C, Hkv, K, Dh] quantized data rows
+    ksw_ref, vsw_ref,        # [C, Hkv, K] f32 scales
+    k_in, v_in, ks_in, vs_in,
+    k_out, v_out, ks_out, vs_out,
+    tiles,                   # [C, 2, 2, Hkv, SP, Dh]
+    stiles,                  # [C, 2, 2, Hkv, SP_L]
+    sems,                    # [C, 8]
+    *,
+    chunk, block_size, kv_heads, head_dim, win, sp, lane_tile, sp_l,
+):
+    c = pl.program_id(0)
+    layer = layer_ref[0]
+
+    def piece_addr(i, piece, tile_sz, span):
+        s = c * chunk + i
+        start = start_ref[s]
+        p0 = jnp.where(piece == 0, start, (start // block_size + 1) * block_size)
+        end = start + win - 1
+        blk = block_tables_ref[s, jnp.minimum(p0 // block_size, block_tables_ref.shape[1] - 1)]
+        base = jnp.clip((p0 % block_size) // tile_sz * tile_sz, 0, block_size - span)
+        live = (p0 <= end) & (valid_ref[s] > 0)
+        return blk, base, live
+
+    def data_dma(i, piece, which, to_hbm):
+        blk, base, _ = piece_addr(i, piece, _TILE_MIN * 4, sp)
+        cache = k_out if which == 0 else v_out
+        hbm = cache.at[layer, blk, :, pl.ds(base, sp), :]
+        vmem = tiles.at[i, piece, which]
+        src, dst = (vmem, hbm) if to_hbm else (hbm, vmem)
+        return pltpu.make_async_copy(src, dst, sems.at[i, piece * 2 + which])
+
+    def scale_dma(i, piece, which, to_hbm):
+        blk, base, _ = piece_addr(i, piece, lane_tile, sp_l)
+        plane = ks_out if which == 0 else vs_out
+        hbm = plane.at[layer, blk, :, pl.ds(base, sp_l)]
+        vmem = stiles.at[i, piece, which]
+        src, dst = (vmem, hbm) if to_hbm else (hbm, vmem)
+        return pltpu.make_async_copy(src, dst, sems.at[i, 4 + piece * 2 + which])
+
+    for i in range(chunk):
+        for piece in range(2):
+            _, _, live = piece_addr(i, piece, _TILE_MIN * 4, sp)
+            @pl.when(live)
+            def _(i=i, piece=piece):
+                data_dma(i, piece, 0, False).start()
+                data_dma(i, piece, 1, False).start()
+                scale_dma(i, piece, 0, False).start()
+                scale_dma(i, piece, 1, False).start()
+
+    for i in range(chunk):
+        s = c * chunk + i
+        for piece in range(2):
+            _, _, live = piece_addr(i, piece, _TILE_MIN * 4, sp)
+            @pl.when(live)
+            def _(i=i, piece=piece):
+                start = start_ref[s]
+                p0 = jnp.where(piece == 0, start,
+                               (start // block_size + 1) * block_size)
+                blk_lo = p0 // block_size * block_size
+                _, dbase, _ = piece_addr(i, piece, _TILE_MIN * 4, sp)
+                data_dma(i, piece, 0, False).wait()
+                data_dma(i, piece, 1, False).wait()
+                r_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_heads, sp, win), 1)
+                w_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_heads, sp, win), 2)
+                onehot = (blk_lo + dbase + r_iota == start + w_iota) & (w_iota < win)
+                in_span = jnp.sum(onehot, axis=2, keepdims=True) > 0
+                for which, wref in ((0, kw_ref), (1, vw_ref)):
+                    rows = jax.lax.dot_general(
+                        onehot.astype(jnp.float32),
+                        wref[i].astype(jnp.float32),
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+                    tiles[i, piece, which] = jnp.where(
+                        in_span, rows.astype(tiles.dtype), tiles[i, piece, which]
+                    )
+                data_dma(i, piece, 0, True).start()
+                data_dma(i, piece, 1, True).start()
+
+                _, sbase, _ = piece_addr(i, piece, lane_tile, sp_l)
+                scale_dma(i, piece, 0, False).wait()
+                scale_dma(i, piece, 1, False).wait()
+                rs_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_heads, sp_l, win), 1)
+                ws_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_heads, sp_l, win), 2)
+                sonehot = (blk_lo + sbase + rs_iota == start + ws_iota) & (ws_iota < win)
+                s_in_span = jnp.sum(sonehot, axis=2) > 0  # [Hkv, SP_L]
+                for which, sref in ((0, ksw_ref), (1, vsw_ref)):
+                    svals = jax.lax.dot_general(
+                        sonehot.astype(jnp.float32),
+                        sref[i],
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )  # [Hkv, SP_L]
+                    stiles[i, piece, which] = jnp.where(
+                        s_in_span, svals, stiles[i, piece, which]
+                    )
+                scale_dma(i, piece, 0, True).start()
+                scale_dma(i, piece, 1, True).start()
+
+    for i in range(chunk):
+        for piece in range(2):
+            _, _, live = piece_addr(i, piece, _TILE_MIN * 4, sp)
+            @pl.when(live)
+            def _(i=i, piece=piece):
+                data_dma(i, piece, 0, True).wait()
+                data_dma(i, piece, 1, True).wait()
+                scale_dma(i, piece, 0, True).wait()
+                scale_dma(i, piece, 1, True).wait()

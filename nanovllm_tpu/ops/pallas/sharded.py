@@ -117,3 +117,58 @@ def sharded_prefill_kv_commit(mesh: Mesh, k_grid, v_grid, k_cache, v_cache,
         check_rep=False,
     )(k_grid, v_grid, k_cache, v_cache, layer_idx, block_tables,
       context_lens, cached_blocks)
+
+
+def sharded_paged_attention_decode_partial(mesh: Mesh, q, k_cache, v_cache,
+                                           layer_idx, block_tables, kv_lens,
+                                           *, scale: float,
+                                           interpret: bool = False):
+    """History-only flash decode (window mode) with heads sharded over the
+    model axis; returns per-shard (acc, m, l) for the local heads."""
+    from nanovllm_tpu.ops.pallas.paged_attention import paged_attention_decode_partial
+
+    fn = partial(paged_attention_decode_partial, scale=scale, interpret=interpret)
+    cache_spec = P(None, None, AXIS_MODEL, None, None)
+    if isinstance(k_cache, tuple):
+        cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))
+    return _shard_map_mod.shard_map(
+        lambda *a: fn(*a),
+        mesh=mesh,
+        in_specs=(
+            P(None, AXIS_MODEL, None),                 # q [S, Hq, Dh]
+            cache_spec,
+            cache_spec,
+            _REP, _REP, _REP,
+        ),
+        out_specs=(
+            P(None, AXIS_MODEL, None),                 # acc [S, Hq, Dh]
+            P(None, AXIS_MODEL),                       # m [S, Hq]
+            P(None, AXIS_MODEL),                       # l [S, Hq]
+        ),
+        check_rep=False,
+    )(q, k_cache, v_cache, layer_idx, block_tables, kv_lens)
+
+
+def sharded_kv_window_commit(mesh: Mesh, k_win, v_win, k_cache, v_cache,
+                             layer_idx, block_tables, start_lens, valid, *,
+                             interpret: bool = False):
+    """kv_window_commit with kv-heads sharded over the model axis."""
+    from nanovllm_tpu.ops.pallas.paged_attention import kv_window_commit
+
+    fn = partial(kv_window_commit, interpret=interpret)
+    cache_spec = P(None, None, AXIS_MODEL, None, None)
+    if isinstance(k_cache, tuple):
+        cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))
+    return _shard_map_mod.shard_map(
+        lambda *a: fn(*a),
+        mesh=mesh,
+        in_specs=(
+            P(None, AXIS_MODEL, None, None),           # k_win [S, Hkv, K, Dh]
+            P(None, AXIS_MODEL, None, None),
+            cache_spec,
+            cache_spec,
+            _REP, _REP, _REP, _REP,
+        ),
+        out_specs=(cache_spec, cache_spec),
+        check_rep=False,
+    )(k_win, v_win, k_cache, v_cache, layer_idx, block_tables, start_lens, valid)

@@ -145,15 +145,23 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     return w.reshape(*lead, in_dim, out).astype(dtype)
 
 
-def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
+def quant_matmul(x: jax.Array, qt: QuantizedTensor, mesh=None) -> jax.Array:
     """x [T, in] @ dequant(qt) [in, out] → [T, out] (x.dtype preserved).
 
-    On TPU this dispatches to the fused Pallas dequant+matmul kernel (the
-    bf16 weights never exist in HBM; XLA's dequantize-then-dot materializes
-    them and measured SLOWER than bf16). The jnp dequantize path is the
-    oracle and the fallback for non-tileable shapes / other backends.
+    Dispatch (v5e measurements, experiments/quant_profile.py, decode-shape
+    4-matmul chain x 28 layers, roofline 539/286 us for int8/int4):
+    - INT8 → XLA dequantize-then-dot: XLA streams the int8 tiles and fuses
+      the convert into the MXU feed WITHOUT materializing bf16 weights
+      (946 us — faster than both bf16 at 1401 us and the fused Pallas
+      kernel at 1142 us, whose ~3.7 us/launch x 112 calls/step is pure
+      overhead). Also TP-native: XLA partitions the dot over the mesh.
+    - INT4 → fused Pallas kernel (XLA's int4 dequant-dot measures 2512 us;
+      the nibble unpack does not fuse). Falls back to dequantize-then-dot
+      for non-tileable shapes and under a mesh (pallas_call does not
+      partition over the model axis — a sharded int4 wrapper is future
+      work; the fallback keeps TP memory-correct).
     """
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and qt.bits == 4 and mesh is None:
         from nanovllm_tpu.ops.pallas.quant_matmul import fusable, fused_quant_matmul
 
         if fusable(x, qt):
@@ -162,11 +170,11 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 
 
-def matmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor]) -> jax.Array:
+def matmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor], mesh=None) -> jax.Array:
     """The model-forward matmul dispatch: plain arrays take the MXU matmul,
     QuantizedTensor takes the dequant path."""
     if isinstance(w, QuantizedTensor):
-        return quant_matmul(x, w)
+        return quant_matmul(x, w, mesh=mesh)
     return x @ w
 
 

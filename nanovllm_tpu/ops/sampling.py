@@ -76,6 +76,7 @@ def sample_logits(
     use_penalty: bool = False,
     use_freq_pres: bool = False,
     use_seeds: bool = False,
+    use_random: bool = True,
 ) -> jax.Array:
     """Sample one token per row (traceable core — call inside a jitted step).
 
@@ -114,6 +115,11 @@ def sample_logits(
         )
 
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if not use_random:
+        # Every row is greedy: skip the Gumbel draw entirely. Generating
+        # [S, V] threefry noise costs ~this much VPU time as the whole
+        # logits matmul at decode batch sizes — a pure waste when temps==0.
+        return greedy_tok
 
     # Temperature scaling (0 handled by the greedy select at the end).
     safe_t = jnp.maximum(state.temps, 1e-6)[:, None]

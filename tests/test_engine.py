@@ -266,6 +266,50 @@ class TestKVCacheDtypes:
         match = sum(a == b for a, b in zip(outs["auto"], outs[kvd]))
         assert match >= min_match, (match, outs)  # quantized KV tracks fp32
 
+    @pytest.mark.parametrize("kvd", ["auto", "int8", "fp8"])
+    def test_kv_pallas_tracks_oracle(self, tmp_model_dir, kvd):
+        """The window-mode decode kernels (interpret mode) vs the jnp
+        oracle engine. bf16 KV ("auto"): greedy tokens must match exactly.
+        Quantized KV: the two paths are both valid but numerically
+        different BY DESIGN — window mode attends the window's own rows at
+        full precision, while the oracle re-reads them quantized — so the
+        gate is strong overlap, not equality (the kernels' cache contents
+        are bit-exact vs the oracle writer: tests/test_window_kernels.py)."""
+        import json
+        import os
+
+        from nanovllm_tpu import Config, SamplingParams
+        from nanovllm_tpu.engine.llm_engine import LLMEngine
+
+        with open(os.path.join(tmp_model_dir, "config.json"), "w") as f:
+            json.dump(dict(model_type="qwen3", vocab_size=512, hidden_size=256,
+                           intermediate_size=512, num_hidden_layers=2,
+                           num_attention_heads=8, num_key_value_heads=4,
+                           head_dim=128, tie_word_embeddings=True), f)
+        outs = {}
+        for pallas in (False, True):
+            cfg = Config(model_path=tmp_model_dir, dtype="float32",
+                         kv_cache_dtype=kvd, kvcache_block_size=16,
+                         num_kvcache_blocks=32, max_model_len=256,
+                         decode_window=4, use_pallas=pallas,
+                         pallas_interpret=pallas)
+            eng = LLMEngine(cfg, rng_seed=0)
+            if pallas:
+                assert eng.model_runner.attn_impl == "pallas_decode"
+                expect_prefill = "pallas_prefill" if kvd == "auto" else "ref"
+                assert eng.model_runner.prefill_attn_impl == expect_prefill
+            o = eng.generate(["kernel oracle check", "second prompt"],
+                             SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True))
+            outs[pallas] = [x.completion_token_ids for x in o]
+        if kvd == "auto":
+            assert outs[True] == outs[False]
+        else:
+            total = match = 0
+            for a, b in zip(outs[True], outs[False]):
+                match += sum(x == y for x, y in zip(a, b))
+                total += len(a)
+            assert match >= total * 0.5, outs
+
 
 class TestAbort:
     def test_abort_request_mid_flight(self, tmp_model_dir):

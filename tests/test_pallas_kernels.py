@@ -144,6 +144,101 @@ class TestPagedAttentionDecode:
         assert changed <= expect  # identical values may produce no diff
 
 
+class TestQuantizedKVDecode:
+    """Quantized tuple caches (int8 / fp8-e4m3 data + per-row f32 scales):
+    the kernels must produce bit-identical cache contents to the jnp tuple
+    path (same quantization math) and attention outputs within quantization
+    tolerance (the kernel patches the current token at full precision; the
+    oracle reads it back quantized)."""
+
+    @staticmethod
+    def _quantize_case(case, qdtype):
+        q, k_new, v_new, kc, vc, layer, bt, cl = case
+        L, NB, Hkv, BS, Dh = kc.shape
+
+        def to_tuple(c):
+            # Fill via the jnp tuple writer so contents are valid quantized
+            # rows with matching scales.
+            out = (jnp.zeros(c.shape, qdtype), jnp.zeros(c.shape[:-1], jnp.float32))
+            slots = jnp.arange(NB * BS, dtype=jnp.int32)
+            for layer_i in range(L):
+                flat = jnp.swapaxes(c[layer_i], 1, 2).reshape(NB * BS, Hkv, Dh)
+                out = kv_cache_write(out, flat, slots, layer_i)
+            return out
+
+        return (q, k_new, v_new, to_tuple(kc), to_tuple(vc), layer, bt, cl)
+
+    @pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn])
+    @pytest.mark.parametrize("ctx_lens", [(1, 17, 33, 0), (16, 16, 16, 16)])
+    def test_matches_tuple_oracle(self, qdtype, ctx_lens):
+        case = self._quantize_case(
+            _make_decode_case(seed=8, ctx_lens=ctx_lens), qdtype
+        )
+        q, k_new, v_new, kc, vc, layer, bt, cl = case
+        scale = q.shape[-1] ** -0.5
+        ref_out, ref_kc, ref_vc = _ref_decode(
+            q, k_new, v_new, kc, vc, layer, bt, cl, scale, 16
+        )
+        got_out = paged_attention_decode(
+            q, k_new, v_new, kc, vc, layer, bt, cl, scale=scale, interpret=True
+        )
+        got_kc, got_vc = kv_cache_commit(
+            k_new, v_new, kc, vc, layer, bt, cl, interpret=True
+        )
+        for got, ref in ((got_kc, ref_kc), (got_vc, ref_vc)):
+            np.testing.assert_array_equal(
+                np.asarray(got[0], np.float32), np.asarray(ref[0], np.float32)
+            )
+            np.testing.assert_allclose(
+                np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-6
+            )
+        ctx = np.asarray(cl)
+        for i in range(q.shape[0]):
+            if ctx[i] == 0:
+                assert np.abs(np.asarray(got_out)[i]).max() == 0.0
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(got_out, np.float32)[i],
+                    np.asarray(ref_out, np.float32)[i],
+                    rtol=0.06, atol=0.06,
+                )
+
+    def test_big_blocks_tile_granularity(self):
+        """BS=256 exercises the (32,128) int8 data tile and the 128-lane
+        scale-plane RMW (the bench shape's path)."""
+        case = self._quantize_case(
+            _make_decode_case(seed=9, BS=256, NB=8, MAXBLK=2,
+                              ctx_lens=(255, 256, 129, 1)),
+            jnp.int8,
+        )
+        q, k_new, v_new, kc, vc, layer, bt, cl = case
+        scale = 0.1
+        ref_out, ref_kc, ref_vc = _ref_decode(
+            q, k_new, v_new, kc, vc, layer, bt, cl, scale, 256
+        )
+        got_out = paged_attention_decode(
+            q, k_new, v_new, kc, vc, layer, bt, cl, scale=scale, interpret=True
+        )
+        got_kc, got_vc = kv_cache_commit(
+            k_new, v_new, kc, vc, layer, bt, cl, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_kc[0]), np.asarray(ref_kc[0])
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_kc[1]), np.asarray(ref_kc[1]), rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_vc[0]), np.asarray(ref_vc[0])
+        )
+        for i, c in enumerate((255, 256, 129, 1)):
+            np.testing.assert_allclose(
+                np.asarray(got_out, np.float32)[i],
+                np.asarray(ref_out, np.float32)[i],
+                rtol=0.06, atol=0.06,
+            )
+
+
 # ---------------------------------------------------------------------------
 # Prefill flash kernel
 # ---------------------------------------------------------------------------
