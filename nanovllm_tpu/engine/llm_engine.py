@@ -330,8 +330,16 @@ class LLMEngine:
         self.is_running = True
         emitted = 0
         try:
-            while seq.status not in (SequenceStatus.FINISHED, SequenceStatus.ERROR):
-                self.step()
+            # Loop until finished AND fully emitted: another concurrent
+            # driver (a second stream, a generate() batch) may finish this
+            # sequence between our yields — the remaining tokens must still
+            # be flushed.
+            while (
+                seq.status not in (SequenceStatus.FINISHED, SequenceStatus.ERROR)
+                or emitted < seq.num_completion_tokens
+            ):
+                if seq.status not in (SequenceStatus.FINISHED, SequenceStatus.ERROR):
+                    self.step()
                 # A decode window appends several tokens at once; emit one
                 # incremental output per new token.
                 while emitted < seq.num_completion_tokens:
@@ -445,6 +453,56 @@ class LLMEngine:
             num_waiting=sch.num_waiting,
             reason="" if healthy else f"KV memory utilization {util:.2f} >= 0.95",
         )
+
+    # ------------------------------------------------------------------
+    # Engine state snapshot / resume (reference aspirational surface:
+    # tests/integration/model_io_test.rs:29 — engine state save)
+    # ------------------------------------------------------------------
+    def save_state(self, path: str) -> int:
+        """Snapshot every live request (prompt + tokens generated so far +
+        sampling params) plus the engine config to a JSON file. Device
+        state (KV caches) is NOT saved: `load_state` recovers it via
+        re-prefill through the prefix cache — the same state machine used
+        for preemption. Returns the number of requests saved."""
+        import dataclasses
+        import json
+
+        while self._pending:  # confirm all in-flight tokens first
+            self._drain_oldest([])
+        requests = []
+        for q in (self.scheduler.waiting, self.scheduler.running):
+            for s in q:
+                requests.append({
+                    "token_ids": list(s.token_ids),
+                    "num_prompt_tokens": s.num_prompt_tokens,
+                    "sampling_params": dataclasses.asdict(s.sampling_params),
+                })
+        cfg = dataclasses.asdict(self.config)
+        cfg.pop("eos_token_id", None)  # re-derived from the tokenizer
+        with open(path, "w") as f:
+            json.dump({"config": cfg, "requests": requests}, f)
+        return len(requests)
+
+    @classmethod
+    def load_state(cls, path: str, **config_overrides) -> "LLMEngine":
+        """Rebuild an engine from a `save_state` snapshot and re-enqueue
+        its requests; generation continues where it stopped (KV recovered
+        by re-prefill, shared prefixes via the prefix cache)."""
+        import json
+
+        with open(path) as f:
+            state = json.load(f)
+        cfg_dict = dict(state["config"], **config_overrides)
+        engine = cls(Config(**cfg_dict))
+        for r in state["requests"]:
+            seq = Sequence(
+                r["token_ids"],
+                SamplingParams(**r["sampling_params"]),
+                block_size=engine.config.kvcache_block_size,
+            )
+            seq.num_prompt_tokens = r["num_prompt_tokens"]
+            engine.scheduler.add_sequence(seq)
+        return engine
 
     def shutdown(self) -> None:
         """Drain the pipeline, then preempt everything; in-flight requests

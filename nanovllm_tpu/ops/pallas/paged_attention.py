@@ -714,8 +714,8 @@ def _attn_partial_kernel(
     @pl.when(it == last_it)
     def _():
         acc_ref[0] = acc_scr[...].reshape(kv_heads * groups, head_dim)
-        m_ref[0] = m_scr[...].reshape(kv_heads * groups)
-        l_ref[0] = l_scr[...].reshape(kv_heads * groups)
+        m_ref[0, 0] = m_scr[...].reshape(kv_heads * groups)
+        l_ref[0, 0] = l_scr[...].reshape(kv_heads * groups)
 
 
 def _attn_partial_kernel_quant(
@@ -751,8 +751,8 @@ def _attn_partial_kernel_quant(
     @pl.when(it == last_it)
     def _():
         acc_ref[0] = acc_scr[...].reshape(kv_heads * groups, head_dim)
-        m_ref[0] = m_scr[...].reshape(kv_heads * groups)
-        l_ref[0] = l_scr[...].reshape(kv_heads * groups)
+        m_ref[0, 0] = m_scr[...].reshape(kv_heads * groups)
+        l_ref[0, 0] = l_scr[...].reshape(kv_heads * groups)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -821,8 +821,8 @@ def paged_attention_decode_partial(
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, Hq, Dh), lambda s, it, *p: (s, 0, 0)),
-            pl.BlockSpec((1, Hq), lambda s, it, *p: (s, 0)),
-            pl.BlockSpec((1, Hq), lambda s, it, *p: (s, 0)),
+            pl.BlockSpec((1, 1, Hq), lambda s, it, *p: (s, 0, 0)),
+            pl.BlockSpec((1, 1, Hq), lambda s, it, *p: (s, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((Hkv, groups, 1), jnp.float32),
@@ -830,16 +830,17 @@ def paged_attention_decode_partial(
             pltpu.VMEM((Hkv, groups, Dh), jnp.float32),
         ],
     )
-    return pl.pallas_call(
+    acc, m, l = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((S, Hq, Dh), jnp.float32),
-            jax.ShapeDtypeStruct((S, Hq), jnp.float32),
-            jax.ShapeDtypeStruct((S, Hq), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, Hq), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, Hq), jnp.float32),
         ),
         interpret=interpret,
     )(*operands)
+    return acc, m[:, 0], l[:, 0]
 
 
 def _window_commit_kernel(
