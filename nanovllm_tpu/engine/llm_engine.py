@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
 import time
 from dataclasses import dataclass
 from typing import AsyncGenerator, Dict, List, Optional
@@ -86,6 +87,12 @@ class HealthStatus:
 
 class LLMEngine:
     def __init__(self, config: Config, rng_seed: int = 0):
+        if config.model_path and not os.path.isdir(config.model_path):
+            # Hub repo id convenience (reference declares hf-hub support,
+            # Cargo.toml:23, but never wires it): resolve + cache locally.
+            from nanovllm_tpu.utils.hub import resolve_model
+
+            config.model_path = resolve_model(config.model_path)
         config.validate()
         self.config = config
         self.tokenizer = load_tokenizer(config.model_path)

@@ -110,11 +110,20 @@ def build_decode_window(
                 q_positions=jnp.where(valid, ctx - 1, -1)[:, None],
             )
             if window_mode:
-                logits, k_cache, v_cache, (k_win, v_win) = forward_fn(
+                logits, k_cache, v_cache, (k_rows, v_rows) = forward_fn(
                     cfg, params, k_cache, v_cache, toks, meta,
                     attn_impl=attn_impl, mesh=mesh,
                     window=dict(k_win=k_win, v_win=v_win, substep=k_idx,
                                 start_lens=start_lens),
+                )
+                # Stage this substep's rows (all layers at once) at slot j.
+                k_win = jax.lax.dynamic_update_slice(
+                    k_win, k_rows[:, :, :, None, :].astype(k_win.dtype),
+                    (0, 0, 0, k_idx, 0),
+                )
+                v_win = jax.lax.dynamic_update_slice(
+                    v_win, v_rows[:, :, :, None, :].astype(v_win.dtype),
+                    (0, 0, 0, k_idx, 0),
                 )
             else:
                 logits, k_cache, v_cache = forward_fn(

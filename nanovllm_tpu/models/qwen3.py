@@ -251,10 +251,7 @@ def forward(
     # per-layer scatter in place on the donated buffers, where xs/ys would
     # round-trip the full multi-GB cache through fresh copies every step.
     def layer_step(carry, lp):
-        if window is not None:
-            h, kc, vc, layer_idx, k_win, v_win = carry
-        else:
-            h, kc, vc, layer_idx = carry
+        h, kc, vc, layer_idx = carry
 
         # Attention block (reference: qwen3.rs:208-240)
         x = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
@@ -277,64 +274,35 @@ def forward(
         k = apply_rope(k, meta.positions, theta)
 
         if attn_impl == "pallas_decode" and window is not None:
-            # Decode-WINDOW attention: history (committed cache, flash
-            # kernel, mask constant across the window) + this window's own
-            # rows (XLA over the staging buffers), merged by (m, l).
-            # No per-substep commit — the caller span-commits the staging
-            # buffers once per layer per window (K-fold fewer DMA issues;
-            # a per-row RMW commit measured ~25-29 us/layer/substep on
-            # v5e, DMA-issue-bound).
+            # Decode-WINDOW attention, one kernel: committed history blocks
+            # + the staged window rows (fetched through the pallas pipeline,
+            # BlockSpec indexed by (layer, seq)) + this substep's own row
+            # patched at full precision. No per-substep cache commit — the
+            # caller span-commits the staging buffers once per layer per
+            # window (a per-row RMW commit measured ~25-29 us/layer/substep
+            # on v5e, DMA-issue-bound). This layer's rows leave through the
+            # scan ys; the staging buffer updates once per substep.
             interp = jax.default_backend() != "tpu"
-            j = window["substep"]
-            start = window["start_lens"]  # [S] committed history length
-            S = q.shape[0]
-            W = k_win.shape[3]
-            G = Hq // Hkv
-            k_win = jax.lax.dynamic_update_slice(
-                k_win, k.reshape(1, S, Hkv, 1, Dh), (layer_idx, 0, 0, j, 0)
-            )
-            v_win = jax.lax.dynamic_update_slice(
-                v_win, v.reshape(1, S, Hkv, 1, Dh), (layer_idx, 0, 0, j, 0)
-            )
             if mesh is not None:
                 from nanovllm_tpu.ops.pallas.sharded import (
-                    sharded_paged_attention_decode_partial,
+                    sharded_paged_attention_window,
                 )
 
-                acc1, m1, l1 = sharded_paged_attention_decode_partial(
-                    mesh, q, kc, vc, layer_idx, meta.block_tables, start,
-                    scale=scale, interpret=interp,
+                attn = sharded_paged_attention_window(
+                    mesh, q, k, v, window["k_win"], window["v_win"], kc, vc,
+                    layer_idx, meta.block_tables, window["start_lens"],
+                    window["substep"], scale=scale, interpret=interp,
                 )
             else:
                 from nanovllm_tpu.ops.pallas.paged_attention import (
-                    paged_attention_decode_partial,
+                    paged_attention_window,
                 )
 
-                acc1, m1, l1 = paged_attention_decode_partial(
-                    q, kc, vc, layer_idx, meta.block_tables, start,
-                    scale=scale, interpret=interp,
+                attn = paged_attention_window(
+                    q, k, v, window["k_win"], window["v_win"], kc, vc,
+                    layer_idx, meta.block_tables, window["start_lens"],
+                    window["substep"], scale=scale, interpret=interp,
                 )
-            kw = jax.lax.dynamic_index_in_dim(k_win, layer_idx, 0, keepdims=False)
-            vw = jax.lax.dynamic_index_in_dim(v_win, layer_idx, 0, keepdims=False)
-            qg = q.reshape(S, Hkv, G, Dh).astype(jnp.float32) * scale
-            scores = jnp.einsum("shgd,shwd->shgw", qg, kw.astype(jnp.float32))
-            w_ok = jnp.arange(W, dtype=jnp.int32)[None, None, None, :] <= j
-            scores = jnp.where(w_ok, scores, -1e30)
-            m2 = jnp.max(scores, axis=-1)                       # [S, Hkv, G]
-            p2 = jnp.exp(scores - m2[..., None])
-            l2 = jnp.sum(p2, axis=-1)
-            acc2 = jnp.einsum("shgw,shwd->shgd", p2, vw.astype(jnp.float32))
-            m1r = m1.reshape(S, Hkv, G)
-            l1r = l1.reshape(S, Hkv, G)
-            acc1r = acc1.reshape(S, Hkv, G, Dh)
-            m_tot = jnp.maximum(m1r, m2)
-            a1 = jnp.exp(m1r - m_tot)
-            a2 = jnp.exp(m2 - m_tot)
-            l_tot = l1r * a1 + l2 * a2
-            out = (acc1r * a1[..., None] + acc2 * a2[..., None]) / jnp.maximum(
-                l_tot, 1e-30
-            )[..., None]
-            attn = out.reshape(S, Hq, Dh).astype(h.dtype)
         elif attn_impl == "pallas_decode":
             # Attention reads the caches + an in-VMEM patch of this step's
             # K/V; the commit kernel writes the row to HBM concurrently —
@@ -434,21 +402,16 @@ def forward(
         gate, up = jnp.split(gate_up, 2, axis=-1)
         h = h + matmul(jax.nn.silu(gate) * up, lp["down"], mesh=mesh)
         if window is not None:
-            return (h, kc, vc, layer_idx + 1, k_win, v_win), None
+            # This layer's K/V rows stack into [L, S, Hkv, Dh] via ys; the
+            # caller writes them into the staging buffer once per substep.
+            return (h, kc, vc, layer_idx + 1), (k, v)
         return (h, kc, vc, layer_idx + 1), None
 
-    if window is not None:
-        init = (h, k_cache, v_cache, jnp.int32(0),
-                window["k_win"], window["v_win"])
-        (h, k_cache, v_cache, _, k_win_out, v_win_out), _ = jax.lax.scan(
-            layer_step, init, params["layers"]
-        )
-    else:
-        (h, k_cache, v_cache, _), _ = jax.lax.scan(
-            layer_step,
-            (h, k_cache, v_cache, jnp.int32(0)),
-            params["layers"],
-        )
+    (h, k_cache, v_cache, _), ys = jax.lax.scan(
+        layer_step,
+        (h, k_cache, v_cache, jnp.int32(0)),
+        params["layers"],
+    )
 
     h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
 
@@ -459,7 +422,7 @@ def forward(
     lm_w = params["embedding"] if cfg.tie_word_embeddings else params["lm_head"]
     logits = lm_head_logits(x, lm_w)
     if window is not None:
-        return logits, k_cache, v_cache, (k_win_out, v_win_out)
+        return logits, k_cache, v_cache, ys  # ([L,S,Hkv,Dh], [L,S,Hkv,Dh])
     return logits, k_cache, v_cache
 
 

@@ -299,6 +299,11 @@ def paged_attention_decode(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, Hq, Dh), q.dtype),
+        # SPS x 2-parity x {K,V} double-buffered block fetches exceed the
+        # default 16 MB scoped-vmem budget; v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*operands)
 
@@ -865,7 +870,9 @@ def _window_commit_kernel(
         p0 = jnp.where(piece == 0, start, (start // block_size + 1) * block_size)
         end = start + win - 1
         blk = block_tables_ref[s, jnp.minimum(p0 // block_size, block_tables_ref.shape[1] - 1)]
-        base = jnp.clip((p0 % block_size) // _TILE_MIN * _TILE_MIN, 0, block_size - sp)
+        # Divide LAST so Mosaic can prove the slice base is tile-aligned
+        # (clip/min after the multiply defeats its divisibility analysis).
+        base = jnp.minimum(p0 % block_size, block_size - sp) // _TILE_MIN * _TILE_MIN
         live = (p0 <= end) & (valid_ref[s] > 0)
         return blk, base, live
 
@@ -1035,6 +1042,31 @@ def kv_window_commit(
 
     lane_tile = 128 if BS % 128 == 0 else BS
     sp_l = min(BS, ((W - 1) // lane_tile + 2) * lane_tile)
+
+    # Precompute the scale-plane span contents in XLA (one fused vector op
+    # over [S, 2, Hkv, SP_L]); building them inside the kernel cost
+    # ~0.4 ms/layer as 64 serially-unrolled iota+dot instances.
+    piece_id = jnp.arange(2, dtype=jnp.int32)[None, :]              # [1, 2]
+    p0 = jnp.where(piece_id == 0, start_lens[:, None],
+                   (start_lens[:, None] // BS + 1) * BS)            # [S, 2]
+    blk_lo = p0 // BS * BS
+    sbase = jnp.minimum(p0 % BS, BS - sp_l) // lane_tile * lane_tile
+    abs_lane = (blk_lo + sbase)[:, :, None] + jnp.arange(sp_l)[None, None, :]
+    match = (
+        abs_lane[:, :, :, None]
+        == start_lens[:, None, None, None] + jnp.arange(W)[None, None, None, :]
+    )  # [S, 2, SP_L, W]
+    smask = jnp.any(match, axis=-1).astype(jnp.float32)             # [S, 2, SP_L]
+    ksv = jnp.einsum("szlw,shw->szhl",
+                     match.astype(jnp.float32), ks_rows)            # [S, 2, Hkv, SP_L]
+    vsv = jnp.einsum("szlw,shw->szhl", match.astype(jnp.float32), vs_rows)
+    smask = jnp.broadcast_to(smask[:, :, None, :], ksv.shape)
+    if Spad != S:
+        pads = [(0, Spad - S)]
+        ksv = jnp.pad(ksv, pads + [(0, 0)] * 3)
+        vsv = jnp.pad(vsv, pads + [(0, 0)] * 3)
+        smask = jnp.pad(smask, pads + [(0, 0)] * 3)
+
     kernel = functools.partial(
         _window_commit_kernel_quant,
         chunk=chunk, block_size=BS, kv_heads=Hkv, head_dim=Dh, win=W, sp=sp,
@@ -1046,8 +1078,9 @@ def kv_window_commit(
         in_specs=[
             pl.BlockSpec((chunk, Hkv, W, Dh), lambda c, *p: (c, 0, 0, 0)),
             pl.BlockSpec((chunk, Hkv, W, Dh), lambda c, *p: (c, 0, 0, 0)),
-            pl.BlockSpec((chunk, Hkv, W), lambda c, *p: (c, 0, 0)),
-            pl.BlockSpec((chunk, Hkv, W), lambda c, *p: (c, 0, 0)),
+            pl.BlockSpec((chunk, 2, Hkv, sp_l), lambda c, *p: (c, 0, 0, 0)),
+            pl.BlockSpec((chunk, 2, Hkv, sp_l), lambda c, *p: (c, 0, 0, 0)),
+            pl.BlockSpec((chunk, 2, Hkv, sp_l), lambda c, *p: (c, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1074,14 +1107,14 @@ def kv_window_commit(
             jax.ShapeDtypeStruct(k_scales.shape, jnp.float32),
             jax.ShapeDtypeStruct(v_scales.shape, jnp.float32),
         ),
-        # Scalar prefetch: 4; kq=4, vq=5, ks_rows=6, vs_rows=7, caches 8-11.
-        input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3},
+        # Scalar prefetch: 4; kq=4, vq=5, ksv=6, vsv=7, smask=8, caches 9-12.
+        input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
         tables, start_lens, valid,
-        kq, vq, ks_rows, vs_rows,
+        kq, vq, ksv, vsv, smask,
         k_cache, v_cache, k_scales, v_scales,
     )
     return (k_data, k_s), (v_data, v_s)
@@ -1090,7 +1123,8 @@ def kv_window_commit(
 def _window_commit_kernel_quant(
     layer_ref, block_tables_ref, start_ref, valid_ref,
     kw_ref, vw_ref,          # [C, Hkv, K, Dh] quantized data rows
-    ksw_ref, vsw_ref,        # [C, Hkv, K] f32 scales
+    ksv_ref, vsv_ref,        # [C, 2, Hkv, SP_L] f32 precomputed scale spans
+    smask_ref,               # [C, 2, Hkv, SP_L] f32 1.0 on span rows
     k_in, v_in, ks_in, vs_in,
     k_out, v_out, ks_out, vs_out,
     tiles,                   # [C, 2, 2, Hkv, SP, Dh]
@@ -1108,7 +1142,8 @@ def _window_commit_kernel_quant(
         p0 = jnp.where(piece == 0, start, (start // block_size + 1) * block_size)
         end = start + win - 1
         blk = block_tables_ref[s, jnp.minimum(p0 // block_size, block_tables_ref.shape[1] - 1)]
-        base = jnp.clip((p0 % block_size) // tile_sz * tile_sz, 0, block_size - span)
+        # Divide LAST so Mosaic can prove the slice base is tile-aligned.
+        base = jnp.minimum(p0 % block_size, block_size - span) // tile_sz * tile_sz
         live = (p0 <= end) & (valid_ref[s] > 0)
         return blk, base, live
 
@@ -1168,23 +1203,18 @@ def _window_commit_kernel_quant(
                 data_dma(i, piece, 0, True).start()
                 data_dma(i, piece, 1, True).start()
 
-                _, sbase, _ = piece_addr(i, piece, lane_tile, sp_l)
                 scale_dma(i, piece, 0, False).wait()
                 scale_dma(i, piece, 1, False).wait()
-                rs_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_heads, sp_l, win), 1)
-                ws_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_heads, sp_l, win), 2)
-                sonehot = (blk_lo + sbase + rs_iota == start + ws_iota) & (ws_iota < win)
-                s_in_span = jnp.sum(sonehot, axis=2) > 0  # [Hkv, SP_L]
-                for which, sref in ((0, ksw_ref), (1, vsw_ref)):
-                    svals = jax.lax.dot_general(
-                        sonehot.astype(jnp.float32),
-                        sref[i],
-                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32,
-                    )  # [Hkv, SP_L]
-                    stiles[i, piece, which] = jnp.where(
-                        s_in_span, svals, stiles[i, piece, which]
-                    )
+                # Span values/mask precomputed in XLA (in-kernel iota+dot
+                # construction measured ~0.4 ms/layer across the 64
+                # serially-unrolled instances).
+                smask = smask_ref[i, piece] > 0.0
+                stiles[i, piece, 0] = jnp.where(
+                    smask, ksv_ref[i, piece], stiles[i, piece, 0]
+                )
+                stiles[i, piece, 1] = jnp.where(
+                    smask, vsv_ref[i, piece], stiles[i, piece, 1]
+                )
                 scale_dma(i, piece, 0, True).start()
                 scale_dma(i, piece, 1, True).start()
 
@@ -1197,3 +1227,276 @@ def _window_commit_kernel_quant(
                 data_dma(i, piece, 1, True).wait()
                 scale_dma(i, piece, 0, True).wait()
                 scale_dma(i, piece, 1, True).wait()
+
+
+# ---------------------------------------------------------------------------
+# Unified window decode attention: history blocks + staged window rows in
+# ONE kernel.
+#
+# v5e measurements that shaped this design (experiments/window_probe.py):
+# - merging history (kernel) with window rows (XLA) via (m, l) outputs cost
+#   more than it saved: f32 acc round trips + per-layer dynamic
+#   index/update of the [L,S,Hkv,K,Dh] staging buffer ~1 ms/substep.
+#   Here the staged rows are fetched through the pallas pipeline as one
+#   more block (BlockSpec indexed by (layer, seq)) and flash-merged
+#   in-kernel; the staging buffer is updated ONCE per substep outside.
+# - dequantizing a fetched int8 block to f32 in VMEM (262K converts +
+#   multiplies per block) made int8-KV attention SLOWER than bf16. Instead
+#   the per-row scales fold into the [Hkv, G, BS] scores (for K) and into
+#   the probabilities (for V) — O(BS) scale work instead of O(BS*Dh) — and
+#   the dots run on bf16 operands (f32 accumulation), not f32.
+# ---------------------------------------------------------------------------
+
+def _window_flash_block(q, k, v, kscale, vscale, pos_base, klimit, patch_k,
+                        patch_v, patch_pos, m_scr, l_scr, acc_scr, *,
+                        compute_dtype, kv_heads, groups, head_dim):
+    """One flash block update. q: [Hkv, G, Dh] (pre-scaled, compute dtype);
+    k/v: [Hkv, B, Dh]; kscale/vscale: [Hkv, B] f32 or None (folded into
+    scores / probabilities — O(B) work instead of O(B*Dh) block
+    dequantization); pos_base: absolute position of the block's row 0;
+    rows with position >= klimit are masked; patch_k/v: [Hkv, Dh] row
+    substituted at absolute position patch_pos (None disables).
+
+    A transposed formulation (scores_T = k @ q^T with M=block rows) was
+    tried and measured SLOWER on v5e (150 vs 79 us/layer int8) — Mosaic's
+    scheduling does not reward it; keep the natural orientation."""
+    B = k.shape[1]
+    if patch_k is not None:
+        pos3 = pos_base + jax.lax.broadcasted_iota(
+            jnp.int32, (kv_heads, B, head_dim), 1
+        )
+        sel = pos3 == patch_pos
+        k = jnp.where(sel, patch_k[:, None, :], k)
+        v = jnp.where(sel, patch_v[:, None, :], v)
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [Hkv, G, B]
+    pos2 = pos_base + jax.lax.broadcasted_iota(jnp.int32, (kv_heads, B), 1)
+    if kscale is not None:
+        ksc = jnp.where(pos2 == patch_pos, 1.0, kscale)
+        scores = scores * ksc[:, None, :]
+    pos_g = pos_base + jax.lax.broadcasted_iota(
+        jnp.int32, (kv_heads, groups, B), 2
+    )
+    scores = jnp.where(pos_g < klimit, scores, _NEG_INF)
+
+    m = m_scr[...]
+    m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+    alpha = jnp.exp(m - m_new)
+    p = jnp.exp(scores - m_new)
+    l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    if vscale is not None:
+        vsc = jnp.where(pos2 == patch_pos, 1.0, vscale)
+        p = p * vsc[:, None, :]
+    pv = jax.lax.dot_general(
+        p.astype(compute_dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[...] = acc_scr[...] * alpha + pv
+    m_scr[...] = m_new
+
+
+def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
+                             groups, head_dim, win, compute_dtype, sps):
+    # Per-grid-step fixed cost (~1-2 us on v5e) dominates this kernel at
+    # decode shapes, so the grid is minimized three ways: SPS sequence
+    # lanes per step (independent flash updates — the hardware overlaps
+    # their compute), TWO history blocks per lane per step (paired
+    # even/odd BlockSpec fetches), and the staged-window update + finalize
+    # folded into the LAST step instead of its own step.
+    def kernel(*refs):
+        (layer_ref, tables_ref, start_ref, sub_ref,
+         q_ref, k_new_ref, v_new_ref, kw_ref, vw_ref) = refs[:9]
+        ncache = 4 * sps * (2 if quantized else 1)
+        cache_refs = refs[9:9 + ncache]
+        out_ref, m_scr, l_scr, acc_scr = refs[9 + ncache:]
+
+        ss = pl.program_id(0)
+        it = pl.program_id(1)
+        last_it = pl.num_programs(1) - 1
+        j = sub_ref[0]                    # substep: staged rows w < j valid
+
+        @pl.when(it == 0)
+        def _():
+            m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        for a in range(sps):
+            seq = ss * sps + a
+            start = start_ref[seq]        # committed history length
+            nb = pl.cdiv(start, block_size)
+            q = (q_ref[a].reshape(kv_heads, groups, head_dim)
+                 .astype(jnp.float32) * scale).astype(compute_dtype)
+            msl = (m_scr.at[a], l_scr.at[a], acc_scr.at[a])
+
+            for par in range(2):
+                if quantized:
+                    k_ref = cache_refs[4 * a + 2 * par]
+                    v_ref = cache_refs[4 * a + 2 * par + 1]
+                    ks_ref = cache_refs[4 * sps + 4 * a + 2 * par]
+                    vs_ref = cache_refs[4 * sps + 4 * a + 2 * par + 1]
+                else:
+                    k_ref = cache_refs[4 * a + 2 * par]
+                    v_ref = cache_refs[4 * a + 2 * par + 1]
+                    ks_ref = vs_ref = None
+
+                @pl.when(2 * it + par < nb)
+                def _(a=a, par=par, k_ref=k_ref, v_ref=v_ref,
+                      ks_ref=ks_ref, vs_ref=vs_ref, q=q, start=start,
+                      msl=msl):
+                    k = k_ref[0, 0]
+                    v = v_ref[0, 0]
+                    if quantized:
+                        k = k.astype(compute_dtype)
+                        v = v.astype(compute_dtype)
+                        ksc, vsc = ks_ref[0, 0], vs_ref[0, 0]
+                    else:
+                        ksc = vsc = None
+                    _window_flash_block(
+                        q, k, v, ksc, vsc, (2 * it + par) * block_size,
+                        start, None, None, -1, *msl,
+                        compute_dtype=compute_dtype, kv_heads=kv_heads,
+                        groups=groups, head_dim=head_dim,
+                    )
+
+            @pl.when(it == last_it)
+            def _(a=a, q=q, start=start, msl=msl):
+                # Staged window rows (w < j) + this substep's own row
+                # patched at w == j, at full precision.
+                kw = kw_ref[0, a].astype(compute_dtype)  # [Hkv, K, Dh]
+                vw = vw_ref[0, a].astype(compute_dtype)
+                _window_flash_block(
+                    q, kw, vw, None, None, start, start + j + 1,
+                    k_new_ref[a].astype(compute_dtype),
+                    v_new_ref[a].astype(compute_dtype),
+                    start + j, *msl,
+                    compute_dtype=compute_dtype, kv_heads=kv_heads,
+                    groups=groups, head_dim=head_dim,
+                )
+                m_, l_, acc_ = msl
+                l = l_[...]
+                out = jnp.where(l > 0, acc_[...] / jnp.maximum(l, 1e-30), 0.0)
+                out_ref[a] = out.reshape(kv_heads * groups, head_dim).astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_attention_window(
+    q: jax.Array,              # [S, Hq, Dh]
+    k_new: jax.Array,          # [S, Hkv, Dh] this substep's row (full prec)
+    v_new: jax.Array,
+    k_staged: jax.Array,       # [L, S, Hkv, K, Dh] window staging buffer
+    v_staged: jax.Array,
+    k_cache,                   # array or (data, scale) tuple
+    v_cache,
+    layer_idx: jax.Array,
+    block_tables: jax.Array,   # [S, MAXBLK]
+    start_lens: jax.Array,     # [S] committed history length (= first window pos)
+    substep: jax.Array,        # scalar j: staged rows w < j are valid
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Window-mode flash decode attention in one kernel: committed history
+    blocks (pipeline-gathered; per-row scales folded into scores/probs for
+    quantized caches — O(BS) scale work instead of O(BS*Dh) block
+    dequantization) + the staged window rows + this substep's own row.
+    Returns [S, Hq, Dh]."""
+    k_scales = v_scales = None
+    if isinstance(k_cache, tuple):
+        k_cache, k_scales = k_cache
+        v_cache, v_scales = v_cache
+    S, Hq, Dh = q.shape
+    L, NB, Hkv, BS, _ = k_cache.shape
+    W = k_staged.shape[3]
+    groups = Hq // Hkv
+    MAXBLK = block_tables.shape[1]
+    tables = jnp.clip(block_tables, 0, NB - 1)
+    compute_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+    SPS = 4 if S % 4 == 0 else (2 if S % 2 == 0 else 1)
+
+    def kv_index(a, par):
+        def index(ss, it, layer_ref, tables_ref, start_ref, sub_ref):
+            seq = ss * SPS + a
+            nb = jnp.maximum(pl.cdiv(start_ref[seq], BS), 1)
+            blk = tables_ref[seq, jnp.minimum(2 * it + par, nb - 1)]
+            return (layer_ref[0], blk, 0, 0, 0)
+        return index
+
+    def scale_index(a, par):
+        def index(ss, it, layer_ref, tables_ref, start_ref, sub_ref):
+            seq = ss * SPS + a
+            nb = jnp.maximum(pl.cdiv(start_ref[seq], BS), 1)
+            blk = tables_ref[seq, jnp.minimum(2 * it + par, nb - 1)]
+            return (layer_ref[0], blk, 0, 0)
+        return index
+
+    def staged_index(ss, it, layer_ref, *_):
+        return (layer_ref[0], ss, 0, 0, 0)
+
+    quantized = k_scales is not None
+    kernel = _make_window_attn_kernel(
+        quantized=quantized, scale=scale, block_size=BS, kv_heads=Hkv,
+        groups=groups, head_dim=Dh, win=W, compute_dtype=compute_dtype,
+        sps=SPS,
+    )
+    in_specs = [
+        pl.BlockSpec((SPS, Hq, Dh), lambda ss, it, *p: (ss, 0, 0)),
+        pl.BlockSpec((SPS, Hkv, Dh), lambda ss, it, *p: (ss, 0, 0)),
+        pl.BlockSpec((SPS, Hkv, Dh), lambda ss, it, *p: (ss, 0, 0)),
+        pl.BlockSpec((1, SPS, Hkv, W, Dh), staged_index),
+        pl.BlockSpec((1, SPS, Hkv, W, Dh), staged_index),
+    ]
+    operands = [
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        tables,
+        start_lens,
+        jnp.asarray(substep, jnp.int32).reshape(1),
+        q,
+        k_new.astype(compute_dtype),
+        v_new.astype(compute_dtype),
+        k_staged,
+        v_staged,
+    ]
+    for a in range(SPS):
+        for par in range(2):
+            in_specs += [
+                pl.BlockSpec((1, 1, Hkv, BS, Dh), kv_index(a, par)),
+                pl.BlockSpec((1, 1, Hkv, BS, Dh), kv_index(a, par)),
+            ]
+            operands += [k_cache, v_cache]
+    if quantized:
+        for a in range(SPS):
+            for par in range(2):
+                in_specs += [
+                    pl.BlockSpec((1, 1, Hkv, BS), scale_index(a, par)),
+                    pl.BlockSpec((1, 1, Hkv, BS), scale_index(a, par)),
+                ]
+                operands += [k_scales, v_scales]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(S // SPS, -(-MAXBLK // 2)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((SPS, Hq, Dh), lambda ss, it, *p: (ss, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((SPS, Hkv, groups, 1), jnp.float32),
+            pltpu.VMEM((SPS, Hkv, groups, 1), jnp.float32),
+            pltpu.VMEM((SPS, Hkv, groups, Dh), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, Hq, Dh), q.dtype),
+        # SPS x 2-parity x {K,V} double-buffered block fetches exceed the
+        # default 16 MB scoped-vmem budget; v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)

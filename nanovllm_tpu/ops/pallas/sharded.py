@@ -172,3 +172,34 @@ def sharded_kv_window_commit(mesh: Mesh, k_win, v_win, k_cache, v_cache,
         out_specs=(cache_spec, cache_spec),
         check_rep=False,
     )(k_win, v_win, k_cache, v_cache, layer_idx, block_tables, start_lens, valid)
+
+
+def sharded_paged_attention_window(mesh: Mesh, q, k_new, v_new, k_staged,
+                                   v_staged, k_cache, v_cache, layer_idx,
+                                   block_tables, start_lens, substep, *,
+                                   scale: float, interpret: bool = False):
+    """Unified window-mode decode attention with heads sharded over the
+    model axis (history blocks + staging + current row all head-parallel)."""
+    from nanovllm_tpu.ops.pallas.paged_attention import paged_attention_window
+
+    fn = partial(paged_attention_window, scale=scale, interpret=interpret)
+    cache_spec = P(None, None, AXIS_MODEL, None, None)
+    if isinstance(k_cache, tuple):
+        cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))
+    return _shard_map_mod.shard_map(
+        lambda *a: fn(*a),
+        mesh=mesh,
+        in_specs=(
+            P(None, AXIS_MODEL, None),                 # q [S, Hq, Dh]
+            P(None, AXIS_MODEL, None),                 # k_new [S, Hkv, Dh]
+            P(None, AXIS_MODEL, None),
+            P(None, None, AXIS_MODEL, None, None),     # k_staged [L,S,Hkv,K,Dh]
+            P(None, None, AXIS_MODEL, None, None),
+            cache_spec,
+            cache_spec,
+            _REP, _REP, _REP, _REP,
+        ),
+        out_specs=P(None, AXIS_MODEL, None),
+        check_rep=False,
+    )(q, k_new, v_new, k_staged, v_staged, k_cache, v_cache, layer_idx,
+      block_tables, start_lens, substep)

@@ -78,3 +78,18 @@ def test_builders(tmp_model_dir):
     assert cfg.max_num_seqs == 16
     assert not cfg.enable_prefix_caching
     assert cfg.tensor_parallel_size == 2
+
+
+class TestHubResolution:
+    def test_local_dir_passes_through(self, tmp_path):
+        from nanovllm_tpu.utils.hub import resolve_model
+
+        assert resolve_model(str(tmp_path)) == str(tmp_path)
+
+    def test_unresolvable_ref_raises_clean_error(self):
+        import pytest
+
+        from nanovllm_tpu.utils.hub import resolve_model
+
+        with pytest.raises(ValueError, match="neither a local directory"):
+            resolve_model("definitely/not-a-real-model-xyz")
