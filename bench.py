@@ -55,19 +55,19 @@ def make_model_dir() -> str:
     return d
 
 
-def make_prompts(n, shared_prefix=0):
+def make_prompts(n, shared_prefix=0, total_len=PROMPT_LEN):
     import random
 
     rng = random.Random(0)
     alphabet = "abcdefghijklmnopqrstuvwxyz "
     prefix = "".join(rng.choice(alphabet) for _ in range(shared_prefix))
     return [
-        prefix + "".join(rng.choice(alphabet) for _ in range(PROMPT_LEN - shared_prefix))
+        prefix + "".join(rng.choice(alphabet) for _ in range(total_len - shared_prefix))
         for _ in range(n)
     ]
 
 
-def build_engine(model_dir, num_seqs, **kw):
+def build_engine(model_dir, num_seqs, prompt_len=PROMPT_LEN, **kw):
     from nanovllm_tpu import Config
     from nanovllm_tpu.engine.llm_engine import LLMEngine
 
@@ -75,10 +75,10 @@ def build_engine(model_dir, num_seqs, **kw):
         model_path=model_dir,
         dtype="bfloat16",
         kvcache_block_size=BLOCK_SIZE,
-        num_kvcache_blocks=num_seqs * ((PROMPT_LEN + DECODE_TOKENS) // BLOCK_SIZE + 2) + 8,
+        num_kvcache_blocks=num_seqs * ((prompt_len + DECODE_TOKENS) // BLOCK_SIZE + 2) + 8,
         max_num_seqs=num_seqs,
         max_num_batched_tokens=16384,
-        max_model_len=PROMPT_LEN * 2 + DECODE_TOKENS + BLOCK_SIZE,
+        max_model_len=prompt_len * 2 + DECODE_TOKENS + BLOCK_SIZE,
         decode_window=32,
     )
     cfg.update(kw)
@@ -115,11 +115,12 @@ def run_once(engine, prompts, params):
     }
 
 
-def bench_config(model_dir, name, num_seqs, shared_prefix=0, **engine_kw):
+def bench_config(model_dir, name, num_seqs, shared_prefix=0,
+                 prompt_len=PROMPT_LEN, **engine_kw):
     from nanovllm_tpu import SamplingParams
 
-    engine = build_engine(model_dir, num_seqs, **engine_kw)
-    prompts = make_prompts(num_seqs, shared_prefix)
+    engine = build_engine(model_dir, num_seqs, prompt_len=prompt_len, **engine_kw)
+    prompts = make_prompts(num_seqs, shared_prefix, total_len=prompt_len)
     params = SamplingParams(temperature=0.0, max_tokens=DECODE_TOKENS, ignore_eos=True)
     run_once(engine, prompts, params)       # warmup: compile all buckets
     result = run_once(engine, prompts, params)
@@ -139,10 +140,11 @@ def main():
     published["config1_bf16_batch1"] = bench_config(
         model_dir, "config1 bf16 batch=1", num_seqs=1)
 
-    # Config 2: bf16 continuous batching, 32 seqs, shared system prompt.
+    # Config 2: bf16 continuous batching, 32 seqs, shared system prompt
+    # covering one full KV block (so prefix hits actually occur).
     published["config2_bf16_batch32_prefix"] = bench_config(
         model_dir, "config2 bf16 batch=32 shared-prefix", num_seqs=32,
-        shared_prefix=64)
+        shared_prefix=BLOCK_SIZE, prompt_len=BLOCK_SIZE + 64)
 
     # Config 3: INT8 weights + INT8 KV (0.6B-scale variant of BASELINE's
     # Qwen3-4B config), 32 and 256 concurrent seqs.

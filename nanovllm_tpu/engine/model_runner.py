@@ -174,9 +174,12 @@ class ModelRunner:
             and self.model_config.head_dim % 128 == 0
         )
         use_pallas_decode = base_pallas and not (kv_quantized and self.mesh is not None)
-        use_pallas_prefill = base_pallas and not kv_quantized
+        use_pallas_prefill = base_pallas and not (kv_quantized and self.mesh is not None)
         self.attn_impl = "pallas_decode" if use_pallas_decode else "ref"
         self.prefill_attn_impl = "pallas_prefill" if use_pallas_prefill else "ref"
+        self.window_commit = (
+            kv_quantized if config.window_commit == "auto" else bool(config.window_commit)
+        )
 
         # Jit caches: one compiled executable per (flags, shape bucket) — the
         # TPU analogue of the reference's HashMap<batch_size, CudaGraph>.
@@ -446,6 +449,7 @@ class ModelRunner:
             self._decode_fns[fk] = build_decode_window(
                 self.model_config, self.family.forward, self.block_size, K, flags,
                 attn_impl=self.attn_impl, mesh=self.mesh,
+                window_commit=self.window_commit,
             )
         self._note_shape(("decode", fk, S, MAXBLK, samp.buf.shape[1]))
 

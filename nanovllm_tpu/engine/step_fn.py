@@ -53,6 +53,7 @@ def build_decode_window(
     flags: dict,
     attn_impl: str = "ref",
     mesh=None,
+    window_commit: bool = True,
 ) -> Callable:
     """K self-feeding decode substeps in one jit.
 
@@ -73,7 +74,7 @@ def build_decode_window(
     # history kernel with XLA attention over the staged rows; the cache is
     # span-committed once per layer per window (K-fold fewer DMA issues
     # than per-substep row RMWs).
-    window_mode = attn_impl == "pallas_decode"
+    window_mode = attn_impl == "pallas_decode" and window_commit
 
     def fn(params, k_cache, v_cache, last_tokens, block_tables, context_lens, samp, key):
         S, M = block_tables.shape

@@ -349,7 +349,7 @@ def forward(
             interp = jax.default_backend() != "tpu"
 
             S, Qn = meta.q_gather.shape
-            BSz = kc.shape[3]
+            BSz = (kc[0] if isinstance(kc, tuple) else kc).shape[3]
             Qpad = -(-Qn // BSz) * BSz
 
             def to_grid(x):

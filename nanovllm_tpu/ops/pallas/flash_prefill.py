@@ -131,6 +131,91 @@ def _prefill_kernel(
         out_ref[0] = out.reshape(kv_heads, QT, groups, head_dim).astype(out_ref.dtype)
 
 
+def _prefill_kernel_quant(
+    # scalar prefetch
+    layer_ref, tables_ref, ctx_ref, qstart_ref, qlen_ref,
+    # inputs
+    q_ref,            # [1, Hkv, QT, G, Dh]
+    k_ref,            # [1, 1, Hkv, CHUNK, Dh] quantized cache chunk
+    v_ref,
+    ks_ref,           # [1, 1, Hkv, CHUNK] f32 per-row scales
+    vs_ref,
+    out_ref,
+    m_scr, l_scr, acc_scr,
+    *,
+    scale: float,
+    kv_heads: int,
+    groups: int,
+    head_dim: int,
+    chunk: int,
+):
+    """Quantized-cache prefill flash: per-row scales fold into scores /
+    probabilities (O(CHUNK) work instead of O(CHUNK*Dh) dequantization)."""
+    s = pl.program_id(0)
+    qt = pl.program_id(1)
+    step = pl.program_id(2)
+    last_step = pl.num_programs(2) - 1
+
+    ctx = ctx_ref[s]
+    qlen = qlen_ref[s]
+    QT = q_ref.shape[2]
+    tile_hi = qstart_ref[s] + jnp.minimum((qt + 1) * QT, jnp.maximum(qlen, 1)) - 1
+    tile_valid = qt * QT < qlen
+    kv_lo = step * chunk
+    step_needed = tile_valid & (kv_lo < ctx) & (kv_lo <= tile_hi)
+
+    @pl.when(step == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(step_needed)
+    def _():
+        cd = jnp.bfloat16 if out_ref.dtype == jnp.bfloat16 else jnp.float32
+        q = (q_ref[0].reshape(kv_heads, QT * groups, head_dim)
+             .astype(jnp.float32) * scale).astype(cd)
+        k = k_ref[0, 0].astype(cd)  # [Hkv, CHUNK, Dh]
+        v = v_ref[0, 0].astype(cd)
+
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * ks_ref[0, 0][:, None, :]
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, QT, groups, 1), 1)
+        qidx = qt * QT + row
+        qpos_g = jnp.where(
+            qidx < qlen, qstart_ref[s] + qidx, -1
+        ).reshape(1, QT * groups, 1)
+        kvpos = kv_lo + jax.lax.broadcasted_iota(
+            jnp.int32, (1, QT * groups, chunk), 2
+        )
+        mask = (kvpos <= qpos_g) & (kvpos < ctx)
+        scores = jnp.where(mask, scores, _NEG_INF)
+
+        m = m_scr[...]
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(scores - m_new) * vs_ref[0, 0][:, None, :]
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(
+            jnp.exp(scores - m_new), axis=-1, keepdims=True
+        )
+        pv = jax.lax.dot_general(
+            p.astype(cd), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        m_scr[...] = m_new
+
+    @pl.when(step == last_step)
+    def _():
+        l = l_scr[...]
+        out = jnp.where(l > 0, acc_scr[...] / jnp.maximum(l, 1e-30), 0.0)
+        out_ref[0] = out.reshape(kv_heads, QT, groups, head_dim).astype(out_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def paged_attention_prefill(
     q: jax.Array,              # [T, Hq, Dh] flat (RoPE'd)
@@ -147,7 +232,12 @@ def paged_attention_prefill(
     scale: float,
     interpret: bool = False,
 ) -> jax.Array:
-    """Flash varlen prefill attention. Returns [T, Hq, Dh] in q.dtype."""
+    """Flash varlen prefill attention (plain or quantized tuple caches).
+    Returns [T, Hq, Dh] in q.dtype."""
+    k_scales = v_scales = None
+    if isinstance(k_cache, tuple):
+        k_cache, k_scales = k_cache
+        v_cache, v_scales = v_cache
     T, Hq, Dh = q.shape
     L, NB, Hkv, BS, _ = k_cache.shape
     G = Hq // Hkv
@@ -185,20 +275,51 @@ def paged_attention_prefill(
         blk = tables_ref[s, st // per_block]
         return (layer_ref[0], blk, 0, st % per_block, 0)
 
+    quantized = k_scales is not None
+
+    def scale_chunk_index(s, qt, step, layer_ref, tables_ref, ctx_ref,
+                          qstart_ref, qlen_ref):
+        QTn = Q_TILE
+        tile_hi = qstart_ref[s] + jnp.minimum(
+            (qt + 1) * QTn, jnp.maximum(qlen_ref[s], 1)
+        ) - 1
+        hi = jnp.minimum(ctx_ref[s] - 1, tile_hi)
+        max_step = jnp.maximum(hi, 0) // chunk
+        st = jnp.minimum(step, max_step)
+        blk = tables_ref[s, st // per_block]
+        return (layer_ref[0], blk, 0, st % per_block)
+
     kernel = functools.partial(
-        _prefill_kernel,
+        _prefill_kernel_quant if quantized else _prefill_kernel,
         scale=scale, kv_heads=Hkv, groups=G, head_dim=Dh, chunk=chunk,
     )
+    in_specs = [
+        pl.BlockSpec(
+            (1, Hkv, Q_TILE, G, Dh), lambda s, qt, st, *p: (s, 0, qt, 0, 0)
+        ),
+        pl.BlockSpec((1, 1, Hkv, chunk, Dh), kv_index),
+        pl.BlockSpec((1, 1, Hkv, chunk, Dh), kv_index),
+    ]
+    operands = [
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        tables,
+        context_lens,
+        qstart,
+        qlen,
+        qg,
+        k_cache,
+        v_cache,
+    ]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, Hkv, chunk), scale_chunk_index),
+            pl.BlockSpec((1, 1, Hkv, chunk), scale_chunk_index),
+        ]
+        operands += [k_scales, v_scales]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(S, Qpad // Q_TILE, kv_steps),
-        in_specs=[
-            pl.BlockSpec(
-                (1, Hkv, Q_TILE, G, Dh), lambda s, qt, st, *p: (s, 0, qt, 0, 0)
-            ),
-            pl.BlockSpec((1, 1, Hkv, chunk, Dh), kv_index),
-            pl.BlockSpec((1, 1, Hkv, chunk, Dh), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, Hkv, Q_TILE, G, Dh), lambda s, qt, st, *p: (s, 0, qt, 0, 0)
         ),
@@ -213,16 +334,7 @@ def paged_attention_prefill(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, Hkv, Qpad, G, Dh), q.dtype),
         interpret=interpret,
-    )(
-        jnp.asarray(layer_idx, jnp.int32).reshape(1),
-        tables,
-        context_lens,
-        qstart,
-        qlen,
-        qg,
-        k_cache,
-        v_cache,
-    )
+    )(*operands)
     # Back to the flat token layout: [S, Hkv, Qpad, G, Dh] -> [T, Hq, Dh].
     out = out_grid.transpose(0, 2, 1, 3, 4).reshape(S, Qpad, Hq, Dh)
     return out[token_seq, token_qcol]

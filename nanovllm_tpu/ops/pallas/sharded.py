@@ -79,13 +79,16 @@ def sharded_paged_attention_prefill(mesh: Mesh, q, k_cache, v_cache,
     from nanovllm_tpu.ops.pallas.flash_prefill import paged_attention_prefill
 
     fn = partial(paged_attention_prefill, scale=scale, interpret=interpret)
+    cache_spec = P(None, None, AXIS_MODEL, None, None)
+    if isinstance(k_cache, tuple):
+        cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))
     return _shard_map_mod.shard_map(
         lambda *a: fn(*a),
         mesh=mesh,
         in_specs=(
             P(None, AXIS_MODEL, None),                 # q [T, Hq, Dh]
-            P(None, None, AXIS_MODEL, None, None),
-            P(None, None, AXIS_MODEL, None, None),
+            cache_spec,
+            cache_spec,
             _REP, _REP, _REP, _REP, _REP, _REP, _REP,
         ),
         out_specs=P(None, AXIS_MODEL, None),
@@ -100,20 +103,20 @@ def sharded_prefill_kv_commit(mesh: Mesh, k_grid, v_grid, k_cache, v_cache,
     from nanovllm_tpu.ops.pallas.prefill_commit import prefill_kv_commit
 
     fn = partial(prefill_kv_commit, interpret=interpret)
+    cache_spec = P(None, None, AXIS_MODEL, None, None)
+    if isinstance(k_cache, tuple):
+        cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))
     return _shard_map_mod.shard_map(
         lambda *a: fn(*a),
         mesh=mesh,
         in_specs=(
             P(None, AXIS_MODEL, None, None),           # k_grid [S, Hkv, Q, Dh]
             P(None, AXIS_MODEL, None, None),
-            P(None, None, AXIS_MODEL, None, None),
-            P(None, None, AXIS_MODEL, None, None),
+            cache_spec,
+            cache_spec,
             _REP, _REP, _REP, _REP,
         ),
-        out_specs=(
-            P(None, None, AXIS_MODEL, None, None),
-            P(None, None, AXIS_MODEL, None, None),
-        ),
+        out_specs=(cache_spec, cache_spec),
         check_rep=False,
     )(k_grid, v_grid, k_cache, v_cache, layer_idx, block_tables,
       context_lens, cached_blocks)

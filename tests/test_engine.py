@@ -385,8 +385,7 @@ class TestKVCacheDtypes:
             eng = LLMEngine(cfg, rng_seed=0)
             if pallas:
                 assert eng.model_runner.attn_impl == "pallas_decode"
-                expect_prefill = "pallas_prefill" if kvd == "auto" else "ref"
-                assert eng.model_runner.prefill_attn_impl == expect_prefill
+                assert eng.model_runner.prefill_attn_impl == "pallas_prefill"
             o = eng.generate(["kernel oracle check", "second prompt"],
                              SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True))
             outs[pallas] = [x.completion_token_ids for x in o]
