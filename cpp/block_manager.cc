@@ -195,22 +195,25 @@ struct BlockManager {
 
   // Deallocate a sequence whose prefill never ran (scheduler token-budget
   // undo / allocate rollback). Blocks dropping to ref 0 lose their hash
-  // identity; blocks still shared with live sequences keep theirs.
-  void undo_allocate(const int64_t* table, int64_t n) {
+  // identity UNLESS they were prefix-cache hits (hits[i] != 0): a hit
+  // block's KV is real (it was free-but-cached when reused), and wiping it
+  // would evict a valid cache entry on every token-budget undo. hits may be
+  // null (wipe all — legacy behavior for callers without hit tracking).
+  void undo_allocate(const int64_t* table, int64_t n, const uint8_t* hits) {
     for (int64_t i = n - 1; i >= 0; --i) {
       Block& b = blocks[table[i]];
       if (--b.ref_count == 0) {
-        wipe_identity(table[i]);
+        if (!hits || !hits[i]) wipe_identity(table[i]);
         free_block(table[i]);
       }
     }
   }
 
   // Prefix-cached allocation over the whole prompt. Returns 0 on success
-  // (out_table[ceil(n/bs)] filled, *out_cached set), -1 on exhaustion
-  // (fully rolled back).
+  // (out_table[ceil(n/bs)] filled, *out_cached set, out_hits[i] = 1 for
+  // prefix-cache hit blocks), -1 on exhaustion (fully rolled back).
   int64_t allocate(const int64_t* tokens, int64_t n_tokens, int64_t* out_table,
-                   int64_t* out_cached) {
+                   int64_t* out_cached, uint8_t* out_hits) {
     int64_t nb = (n_tokens + block_size - 1) / block_size;
     uint64_t prefix = 0;
     bool miss = false;
@@ -247,11 +250,12 @@ struct BlockManager {
         miss = true;
       }
       if (hit >= 0) {
+        out_hits[filled] = 1;
         out_table[filled++] = hit;
         continue;
       }
       if (free_list.empty()) {  // roll back; wipe never-computed identities
-        undo_allocate(out_table, filled);
+        undo_allocate(out_table, filled, out_hits);
         return -1;
       }
       int64_t id = recycle();
@@ -262,6 +266,7 @@ struct BlockManager {
         b.hash = h;
         hash_to_block[h] = id;
       }
+      out_hits[filled] = 0;
       out_table[filled++] = id;
     }
     // Never allow a fully-cached prompt: force >= 1 query token, capped to
@@ -348,17 +353,19 @@ int64_t nvbm_num_free(void* h) {
 }
 
 int64_t nvbm_allocate(void* h, const int64_t* tokens, int64_t n_tokens,
-                      int64_t* out_table, int64_t* out_cached) {
+                      int64_t* out_table, int64_t* out_cached,
+                      uint8_t* out_hits) {
   return static_cast<BlockManager*>(h)->allocate(tokens, n_tokens, out_table,
-                                                 out_cached);
+                                                 out_cached, out_hits);
 }
 
 void nvbm_deallocate(void* h, const int64_t* table, int64_t n) {
   static_cast<BlockManager*>(h)->deallocate(table, n);
 }
 
-void nvbm_undo_allocate(void* h, const int64_t* table, int64_t n) {
-  static_cast<BlockManager*>(h)->undo_allocate(table, n);
+void nvbm_undo_allocate(void* h, const int64_t* table, int64_t n,
+                        const uint8_t* hits) {
+  static_cast<BlockManager*>(h)->undo_allocate(table, n, hits);
 }
 
 int64_t nvbm_reserve(void* h, int64_t* out_new, int64_t need) {

@@ -157,6 +157,7 @@ class BlockManager:
             raise RuntimeError(f"sequence {seq.seq_id} already has allocated blocks")
         prefix_hash = 0
         cache_miss = False
+        seq.prefix_hit_block_ids = set()
         num_blocks = seq.num_blocks()
         for idx in range(num_blocks):
             tokens = seq.get_block_tokens(idx)
@@ -191,6 +192,7 @@ class BlockManager:
 
             if hit_block is not None:
                 seq.block_table.append(hit_block.block_id)
+                seq.prefix_hit_block_ids.add(hit_block.block_id)
                 continue
 
             if not self.free_block_ids:
@@ -205,8 +207,13 @@ class BlockManager:
                     blk = self.blocks[bid]
                     blk.ref_count -= 1
                     if blk.ref_count == 0:
-                        self._wipe_identity(bid)
+                        # Prefix-cache HITS hold real KV (they were
+                        # free-but-cached when reused) — keep their identity
+                        # so the cache entry survives the rollback.
+                        if bid not in seq.prefix_hit_block_ids:
+                            self._wipe_identity(bid)
                         self._free_block(bid)
+                seq.prefix_hit_block_ids = set()
                 raise RuntimeError("out of KV-cache blocks during allocate")
 
             block = self._recycle_block()
@@ -241,16 +248,20 @@ class BlockManager:
         Unlike `deallocate`, blocks dropping to ref 0 lose their hash
         identity: their KV was never computed, so a later same-prefix
         allocate must NOT cache-hit them (ADVICE r1 high: silently wrong
-        output). Blocks still shared with live sequences keep theirs — those
-        were genuine hits whose KV is real."""
+        output). Prefix-cache HIT blocks keep their identity even at ref 0:
+        their KV is real (they were free-but-cached when reused), and wiping
+        them would evict valid cache entries on every token-budget undo
+        (ADVICE r2 low)."""
         for bid in reversed(seq.block_table):
             block = self.blocks[bid]
             block.ref_count -= 1
             if block.ref_count == 0:
-                self._wipe_identity(bid)
+                if bid not in seq.prefix_hit_block_ids:
+                    self._wipe_identity(bid)
                 self._free_block(bid)
         seq.block_table = []
         seq.num_cached_tokens = 0
+        seq.prefix_hit_block_ids = set()
 
     # ------------------------------------------------------------------
     # Decode append protocol (reference: block_manager.rs:255-304),

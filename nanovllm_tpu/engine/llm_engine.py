@@ -106,6 +106,10 @@ class LLMEngine:
         # the next dispatch ON DEVICE, so host round trips overlap device
         # work). FIFO order.
         self._pending: List[DispatchHandle] = []
+        # Outputs produced while draining outside step() (save_state,
+        # shutdown): surfaced from the NEXT step() call so concurrent
+        # generate()/stream drivers never lose a finished request.
+        self._drained_outputs: List[SequenceOutput] = []
         self.perf = PerfStats()
         # Incremental detokenization state per live seq_id.
         self._stream_text: Dict[int, str] = {}
@@ -166,9 +170,14 @@ class LLMEngine:
             raise RuntimeError(
                 "multi-host engine: requests must enter via the rank-0 frontend"
             )
+        # Validate BEFORE constructing the Sequence: construction bumps the
+        # global seq-id counter, and a post-construction validation failure
+        # on rank 0 would leave its counter permanently ahead of followers'
+        # (later aborts are matched by seq_id — the replicated schedulers
+        # would silently diverge).
+        (params or SamplingParams()).validate()
         seq = self._create_sequences([prompt], params)[0]
         if self._multihost:
-            seq.sampling_params.validate()  # reject bad params at intake
             self._intake_requests.append((seq.token_ids[:], seq.sampling_params))
             self._intake_seqs.append(seq)
         else:
@@ -252,6 +261,9 @@ class LLMEngine:
                 return []  # shutdown sentinel: a stopped engine schedules nothing
         self._steps_since_sync += 1
         outputs: List[SequenceOutput] = []
+        if self._drained_outputs:
+            outputs.extend(self._drained_outputs)
+            self._drained_outputs = []
         if self._pending and not self.config.async_scheduling:
             while self._pending:
                 self._drain_oldest(outputs)
@@ -475,7 +487,7 @@ class LLMEngine:
         import json
 
         while self._pending:  # confirm all in-flight tokens first
-            self._drain_oldest([])
+            self._drain_oldest(self._drained_outputs)
         requests = []
         for q in (self.scheduler.waiting, self.scheduler.running):
             for s in q:
@@ -516,7 +528,7 @@ class LLMEngine:
         can be resumed by a new engine via re-prefill
         (reference: llm_engine.rs:345-357)."""
         while self._pending:
-            self._drain_oldest([])
+            self._drain_oldest(self._drained_outputs)
         self.scheduler.preempt_all()
         self.is_running = False
 

@@ -182,6 +182,10 @@ class Scheduler:
             self.waiting.popleft()
             batched_tokens += new_tokens
             seq.status = SequenceStatus.RUNNING
+            if seq.admission_time is None:
+                import time as _time
+
+                seq.admission_time = _time.monotonic()
             self.running.append(seq)
             scheduled.append(seq)
         return scheduled

@@ -70,6 +70,10 @@ class Sequence:
         # BlockManager.allocate, cleared on preemption.
         self.num_cached_tokens: int = 0
         self.block_table: List[int] = []
+        # Block ids that were prefix-cache HITS in the last allocate() —
+        # their KV is real, so an allocation rollback must NOT wipe their
+        # cache identity (only fresh blocks hold uncomputed KV).
+        self.prefix_hit_block_ids: set = set()
         self.sampling_params: SamplingParams = sampling_params or SamplingParams()
         self.block_size: int = block_size
         # Tokens dispatched to the device but not yet fetched/confirmed
@@ -80,6 +84,10 @@ class Sequence:
         self.num_pending: int = 0
         self.num_preemptions: int = 0
         self.arrival_time: float = time.monotonic()
+        # First time the scheduler admitted this request (WAITING->RUNNING):
+        # TTFT measured from here excludes queueing delay (post-admission
+        # TTFT); from arrival_time it includes it. Both are reported.
+        self.admission_time: Optional[float] = None
         self.first_token_time: Optional[float] = None
         self.finish_reason: Optional[str] = None
 

@@ -70,10 +70,13 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.nvbm_num_free.restype = ctypes.c_int64
         lib.nvbm_num_free.argtypes = [ctypes.c_void_p]
         I64P = ctypes.POINTER(ctypes.c_int64)
+        U8P = ctypes.POINTER(ctypes.c_uint8)
         lib.nvbm_allocate.restype = ctypes.c_int64
-        lib.nvbm_allocate.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64, I64P, I64P]
+        lib.nvbm_allocate.argtypes = [
+            ctypes.c_void_p, I64P, ctypes.c_int64, I64P, I64P, U8P
+        ]
         lib.nvbm_deallocate.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64]
-        lib.nvbm_undo_allocate.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64]
+        lib.nvbm_undo_allocate.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64, U8P]
         lib.nvbm_reserve.restype = ctypes.c_int64
         lib.nvbm_reserve.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64]
         lib.nvbm_register_progress.argtypes = [
@@ -130,13 +133,18 @@ class NativeBlockManager:
         nb = (n + self.block_size - 1) // self.block_size
         out_table = (ctypes.c_int64 * nb)()
         out_cached = ctypes.c_int64(0)
+        out_hits = (ctypes.c_uint8 * nb)()
         rc = self._lib.nvbm_allocate(
-            self._h, _arr(seq.token_ids), n, out_table, ctypes.byref(out_cached)
+            self._h, _arr(seq.token_ids), n, out_table,
+            ctypes.byref(out_cached), out_hits,
         )
         if rc != 0:
             raise RuntimeError("out of KV-cache blocks during allocate")
         seq.block_table = list(out_table)
         seq.num_cached_tokens = int(out_cached.value)
+        seq.prefix_hit_block_ids = {
+            bid for bid, hit in zip(seq.block_table, out_hits) if hit
+        }
 
     def deallocate(self, seq) -> None:
         if seq.block_table:
@@ -146,12 +154,19 @@ class NativeBlockManager:
 
     def undo_allocate(self, seq) -> None:
         """Deallocate a never-prefilled sequence, wiping the hash identity
-        of blocks whose KV was never computed (see engine.block_manager
-        .BlockManager.undo_allocate)."""
+        of blocks whose KV was never computed; prefix-cache HIT blocks keep
+        theirs (see engine.block_manager.BlockManager.undo_allocate)."""
         if seq.block_table:
-            self._lib.nvbm_undo_allocate(self._h, _arr(seq.block_table), len(seq.block_table))
+            hit_ids = getattr(seq, "prefix_hit_block_ids", set())
+            hits = (ctypes.c_uint8 * len(seq.block_table))(
+                *(1 if bid in hit_ids else 0 for bid in seq.block_table)
+            )
+            self._lib.nvbm_undo_allocate(
+                self._h, _arr(seq.block_table), len(seq.block_table), hits
+            )
         seq.block_table = []
         seq.num_cached_tokens = 0
+        seq.prefix_hit_block_ids = set()
 
     def blocks_needed(self, seq, window: int = 1) -> int:
         highest_pos = seq.total_len() + window - 2

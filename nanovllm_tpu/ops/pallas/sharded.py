@@ -29,6 +29,9 @@ def sharded_paged_attention_decode(mesh: Mesh, q, k_new, v_new, k_cache,
     from nanovllm_tpu.ops.pallas.paged_attention import paged_attention_decode
 
     fn = partial(paged_attention_decode, scale=scale, interpret=interpret)
+    cache_spec = P(None, None, AXIS_MODEL, None, None)
+    if isinstance(k_cache, tuple):
+        cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))
     return _shard_map_mod.shard_map(
         lambda *a: fn(*a),
         mesh=mesh,
@@ -36,8 +39,8 @@ def sharded_paged_attention_decode(mesh: Mesh, q, k_new, v_new, k_cache,
             P(None, AXIS_MODEL, None),                 # q [S, Hq, Dh]
             P(None, AXIS_MODEL, None),                 # k_new [S, Hkv, Dh]
             P(None, AXIS_MODEL, None),                 # v_new
-            P(None, None, AXIS_MODEL, None, None),     # k_cache
-            P(None, None, AXIS_MODEL, None, None),     # v_cache
+            cache_spec,                                # k_cache
+            cache_spec,                                # v_cache
             _REP,                                      # layer_idx
             _REP,                                      # block_tables
             _REP,                                      # context_lens
@@ -53,20 +56,20 @@ def sharded_kv_cache_commit(mesh: Mesh, k_new, v_new, k_cache, v_cache,
     from nanovllm_tpu.ops.pallas.paged_attention import kv_cache_commit
 
     fn = partial(kv_cache_commit, interpret=interpret)
+    cache_spec = P(None, None, AXIS_MODEL, None, None)
+    if isinstance(k_cache, tuple):
+        cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))
     return _shard_map_mod.shard_map(
         lambda *a: fn(*a),
         mesh=mesh,
         in_specs=(
             P(None, AXIS_MODEL, None),
             P(None, AXIS_MODEL, None),
-            P(None, None, AXIS_MODEL, None, None),
-            P(None, None, AXIS_MODEL, None, None),
+            cache_spec,
+            cache_spec,
             _REP, _REP, _REP,
         ),
-        out_specs=(
-            P(None, None, AXIS_MODEL, None, None),
-            P(None, None, AXIS_MODEL, None, None),
-        ),
+        out_specs=(cache_spec, cache_spec),
         check_rep=False,
     )(k_new, v_new, k_cache, v_cache, layer_idx, block_tables, context_lens)
 

@@ -160,5 +160,8 @@ def sample_logits(
 
 sample = jax.jit(
     sample_logits,
-    static_argnames=("use_top_k", "use_top_p", "use_penalty", "use_freq_pres", "use_seeds"),
+    static_argnames=(
+        "use_top_k", "use_top_p", "use_penalty", "use_freq_pres",
+        "use_seeds", "use_random",
+    ),
 )
