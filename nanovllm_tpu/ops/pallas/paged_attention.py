@@ -1300,17 +1300,22 @@ def _window_flash_block(q, k, v, kscale, vscale, pos_base, klimit, patch_k,
 
 
 def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
-                             groups, head_dim, win, compute_dtype, sps):
+                             groups, head_dim, win, compute_dtype, sps,
+                             npar):
     # Per-grid-step fixed cost (~1-2 us on v5e) dominates this kernel at
     # decode shapes, so the grid is minimized three ways: SPS sequence
     # lanes per step (independent flash updates — the hardware overlaps
-    # their compute), TWO history blocks per lane per step (paired
-    # even/odd BlockSpec fetches), and the staged-window update + finalize
+    # their compute), npar history blocks per lane per step (paired
+    # even/odd BlockSpec fetches — but ONLY when MAXBLK is large: with one
+    # or two live blocks per sequence the second fetch operand clamps to
+    # the SAME block and re-fetches it, doubling KV DMA; measured 59 -> 77
+    # us/layer fetch floor at the batch-32 bench shape,
+    # experiments/attn3_probe.py), and the staged-window update + finalize
     # folded into the LAST step instead of its own step.
     def kernel(*refs):
         (layer_ref, tables_ref, start_ref, sub_ref,
          q_ref, k_new_ref, v_new_ref, kw_ref, vw_ref) = refs[:9]
-        ncache = 4 * sps * (2 if quantized else 1)
+        ncache = 2 * npar * sps * (2 if quantized else 1)
         cache_refs = refs[9:9 + ncache]
         out_ref, m_scr, l_scr, acc_scr = refs[9 + ncache:]
 
@@ -1333,18 +1338,16 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
                  .astype(jnp.float32) * scale).astype(compute_dtype)
             msl = (m_scr.at[a], l_scr.at[a], acc_scr.at[a])
 
-            for par in range(2):
+            for par in range(npar):
+                k_ref = cache_refs[2 * npar * a + 2 * par]
+                v_ref = cache_refs[2 * npar * a + 2 * par + 1]
                 if quantized:
-                    k_ref = cache_refs[4 * a + 2 * par]
-                    v_ref = cache_refs[4 * a + 2 * par + 1]
-                    ks_ref = cache_refs[4 * sps + 4 * a + 2 * par]
-                    vs_ref = cache_refs[4 * sps + 4 * a + 2 * par + 1]
+                    ks_ref = cache_refs[2 * npar * (sps + a) + 2 * par]
+                    vs_ref = cache_refs[2 * npar * (sps + a) + 2 * par + 1]
                 else:
-                    k_ref = cache_refs[4 * a + 2 * par]
-                    v_ref = cache_refs[4 * a + 2 * par + 1]
                     ks_ref = vs_ref = None
 
-                @pl.when(2 * it + par < nb)
+                @pl.when(npar * it + par < nb)
                 def _(a=a, par=par, k_ref=k_ref, v_ref=v_ref,
                       ks_ref=ks_ref, vs_ref=vs_ref, q=q, start=start,
                       msl=msl):
@@ -1357,7 +1360,7 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
                     else:
                         ksc = vsc = None
                     _window_flash_block(
-                        q, k, v, ksc, vsc, (2 * it + par) * block_size,
+                        q, k, v, ksc, vsc, (npar * it + par) * block_size,
                         start, None, None, -1, *msl,
                         compute_dtype=compute_dtype, kv_heads=kv_heads,
                         groups=groups, head_dim=head_dim,
@@ -1419,12 +1422,18 @@ def paged_attention_window(
     tables = jnp.clip(block_tables, 0, NB - 1)
     compute_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
     SPS = 4 if S % 4 == 0 else (2 if S % 2 == 0 else 1)
+    # Paired even/odd fetches halve the grid only when sequences actually
+    # span many blocks; at MAXBLK <= 2 the pair operand clamps to the same
+    # block and RE-FETCHES it (the pipeline dedups only per-operand), which
+    # doubled the KV fetch floor (59 -> 77 us/layer measured at the batch-32
+    # bench shape, experiments/attn3_probe.py).
+    NPAR = 2 if MAXBLK >= 4 else 1
 
     def kv_index(a, par):
         def index(ss, it, layer_ref, tables_ref, start_ref, sub_ref):
             seq = ss * SPS + a
             nb = jnp.maximum(pl.cdiv(start_ref[seq], BS), 1)
-            blk = tables_ref[seq, jnp.minimum(2 * it + par, nb - 1)]
+            blk = tables_ref[seq, jnp.minimum(NPAR * it + par, nb - 1)]
             return (layer_ref[0], blk, 0, 0, 0)
         return index
 
@@ -1432,7 +1441,7 @@ def paged_attention_window(
         def index(ss, it, layer_ref, tables_ref, start_ref, sub_ref):
             seq = ss * SPS + a
             nb = jnp.maximum(pl.cdiv(start_ref[seq], BS), 1)
-            blk = tables_ref[seq, jnp.minimum(2 * it + par, nb - 1)]
+            blk = tables_ref[seq, jnp.minimum(NPAR * it + par, nb - 1)]
             return (layer_ref[0], blk, 0, 0)
         return index
 
@@ -1443,7 +1452,7 @@ def paged_attention_window(
     kernel = _make_window_attn_kernel(
         quantized=quantized, scale=scale, block_size=BS, kv_heads=Hkv,
         groups=groups, head_dim=Dh, win=W, compute_dtype=compute_dtype,
-        sps=SPS,
+        sps=SPS, npar=NPAR,
     )
     in_specs = [
         pl.BlockSpec((SPS, Hq, Dh), lambda ss, it, *p: (ss, 0, 0)),
@@ -1464,7 +1473,7 @@ def paged_attention_window(
         v_staged,
     ]
     for a in range(SPS):
-        for par in range(2):
+        for par in range(NPAR):
             in_specs += [
                 pl.BlockSpec((1, 1, Hkv, BS, Dh), kv_index(a, par)),
                 pl.BlockSpec((1, 1, Hkv, BS, Dh), kv_index(a, par)),
@@ -1472,7 +1481,7 @@ def paged_attention_window(
             operands += [k_cache, v_cache]
     if quantized:
         for a in range(SPS):
-            for par in range(2):
+            for par in range(NPAR):
                 in_specs += [
                     pl.BlockSpec((1, 1, Hkv, BS), scale_index(a, par)),
                     pl.BlockSpec((1, 1, Hkv, BS), scale_index(a, par)),
@@ -1480,7 +1489,7 @@ def paged_attention_window(
                 operands += [k_scales, v_scales]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(S // SPS, -(-MAXBLK // 2)),
+        grid=(S // SPS, -(-MAXBLK // NPAR)),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((SPS, Hq, Dh), lambda ss, it, *p: (ss, 0, 0)),
         scratch_shapes=[

@@ -43,10 +43,12 @@ class QuantizedTensor:
     array fields' leading axis and keeps bits/group_size/pack as static
     metadata.
 
-    pack (int4 only): "block256" packs nibble pairs (j, j+128) within each
-    256-row block of the in dim — unpacking is two contiguous halves (no
-    interleave, which costs VPU relayouts in the fused kernel); "pair"
-    packs adjacent rows (2i, 2i+1) for in dims not divisible by 256."""
+    pack (int4 only): "pair" packs adjacent rows (2i -> low nibble,
+    2i+1 -> high nibble of packed byte row i), stored as int8 — exactly
+    the layout `pltpu.bitcast(packed, jnp.int4)` unpacks natively in the
+    fused kernel (round-3 rework; the old "block256" halves layout served
+    the retired int32-shift unpack and remains readable by the jnp
+    oracle)."""
 
     data: jax.Array
     scale: jax.Array
@@ -81,40 +83,34 @@ def quantize(w: jax.Array, bits: int, group_size: Optional[int] = None) -> Quant
     Groups run along the in (contraction) dim so the matmul accumulates
     `sum_g scale_g * (x_g . q_g)` — scales factor out of each group's
     partial dot product.
-    """
+
+    Runs in jnp ON DEVICE: pulling multi-GB weights through numpy costs
+    minutes on a tunneled device attachment (and doubles host RAM)."""
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     *lead, in_dim, out_dim = w.shape
     G = _pick_group_size(in_dim, group_size)
     qmax = 127.0 if bits == 8 else 7.0
 
-    wf = np.asarray(w, np.float32).reshape(*lead, in_dim // G, G, out_dim)
-    absmax = np.abs(wf).max(axis=-2, keepdims=True)  # [..., in/G, 1, out]
-    scale = np.maximum(absmax / qmax, 1e-12)
-    q = np.clip(np.rint(wf / scale), -qmax, qmax).astype(np.int8)
+    wf = jnp.asarray(w, jnp.float32).reshape(*lead, in_dim // G, G, out_dim)
+    absmax = jnp.abs(wf).max(axis=-2, keepdims=True)  # [..., in/G, 1, out]
+    scale = jnp.maximum(absmax / qmax, 1e-12)
+    q = jnp.clip(jnp.rint(wf / scale), -qmax, qmax).astype(jnp.int8)
     q = q.reshape(*lead, in_dim, out_dim)
     scale = scale.squeeze(-2)  # [..., in/G, out]
 
     if bits == 4:
-        if in_dim % 256 == 0:
-            # block256: within each 256-row block, row j pairs with j+128.
-            qb = q.reshape(*lead, in_dim // 256, 256, out_dim)
-            lo = qb[..., :, :128, :].astype(np.uint8) & 0x0F
-            hi = qb[..., :, 128:, :].astype(np.uint8) & 0x0F
-            data = (lo | (hi << 4)).reshape(*lead, in_dim // 2, out_dim)
-            pack = "block256"
-        else:
-            # pair: row 2i -> low nibble, row 2i+1 -> high nibble.
-            lo = q[..., 0::2, :].astype(np.uint8) & 0x0F
-            hi = q[..., 1::2, :].astype(np.uint8) & 0x0F
-            data = lo | (hi << 4)
-            pack = "pair"
-        data = jnp.asarray(data)
+        # pair: row 2i -> low nibble, row 2i+1 -> high nibble; int8 storage
+        # (the fused kernel bitcasts the packed bytes straight to int4).
+        lo = q[..., 0::2, :].astype(jnp.uint8) & 0x0F
+        hi = q[..., 1::2, :].astype(jnp.uint8) & 0x0F
+        data = jax.lax.bitcast_convert_type(lo | (hi << 4), jnp.int8)
+        pack = "pair"
     else:
-        data = jnp.asarray(q)
+        data = q
         pack = "none"
     return QuantizedTensor(
-        data=data, scale=jnp.asarray(scale, jnp.float32), bits=bits,
+        data=data, scale=scale.astype(jnp.float32), bits=bits,
         group_size=G, pack=pack,
     )
 
@@ -155,17 +151,28 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, mesh=None) -> jax.Array:
       (946 us — faster than both bf16 at 1401 us and the fused Pallas
       kernel at 1142 us, whose ~3.7 us/launch x 112 calls/step is pure
       overhead). Also TP-native: XLA partitions the dot over the mesh.
-    - INT4 → fused Pallas kernel (XLA's int4 dequant-dot measures 2512 us;
-      the nibble unpack does not fuse). Falls back to dequantize-then-dot
-      for non-tileable shapes and under a mesh (pallas_call does not
-      partition over the model axis — a sharded int4 wrapper is future
-      work; the fallback keeps TP memory-correct).
+    - INT4 → fused Pallas kernel at ALL batch sizes (decode AND prefill;
+      the r3 bitcast unpack + batch-tiled grid covers prefill-scale token
+      counts — XLA's int4 dequant-dot measures 2512 us at decode and 2.8x
+      slower than bf16 at prefill). Falls back to dequantize-then-dot for
+      non-tileable shapes and under a mesh (pallas_call does not partition
+      over the model axis — the fallback keeps TP memory-correct).
     """
     if jax.default_backend() == "tpu" and qt.bits == 4 and mesh is None:
-        from nanovllm_tpu.ops.pallas.quant_matmul import fusable, fused_quant_matmul
+        from nanovllm_tpu.ops.pallas.quant_matmul import (
+            dequantizable,
+            fusable,
+            fused_quant_matmul,
+            pallas_dequantize,
+        )
 
         if fusable(x, qt):
             return fused_quant_matmul(x, qt)
+        if dequantizable(qt):
+            # Prefill-scale: unpack+dequant once to bf16 HBM (one streaming
+            # pass), then XLA's compute-bound matmul at full MXU rate.
+            w = pallas_dequantize(qt, x.dtype)
+            return jnp.dot(x, w, preferred_element_type=x.dtype)
     w = dequantize(qt, x.dtype)
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 
@@ -213,13 +220,13 @@ class QuantizedEmbedding:
 
 def quantize_embedding(w: jax.Array, dtype: str = "bfloat16") -> QuantizedEmbedding:
     """Symmetric per-vocab-row INT8 quantization of an embedding/lm_head
-    weight [V, D]."""
-    wf = np.asarray(w, np.float32)
-    absmax = np.abs(wf).max(axis=1)  # [V]
-    scale = np.maximum(absmax / 127.0, 1e-12)
-    q = np.clip(np.rint(wf / scale[:, None]), -127, 127).astype(np.int8)
+    weight [V, D] (jnp on device — see `quantize`)."""
+    wf = jnp.asarray(w, jnp.float32)
+    absmax = jnp.abs(wf).max(axis=1)  # [V]
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    q = jnp.clip(jnp.rint(wf / scale[:, None]), -127, 127).astype(jnp.int8)
     return QuantizedEmbedding(
-        data=jnp.asarray(q), scale=jnp.asarray(scale, jnp.float32), dtype=dtype
+        data=q, scale=scale.astype(jnp.float32), dtype=dtype
     )
 
 

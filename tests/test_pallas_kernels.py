@@ -413,3 +413,21 @@ class TestFusedQuantMatmul:
         x = jnp.zeros((4, 96), jnp.float32)
         qt = quantize(jnp.ones((96, 100), jnp.float32), 8)
         assert not fusable(x, qt)
+
+
+class TestPallasDequantize:
+    def test_matches_jnp_dequantize(self):
+        """The prefill-scale unpack-to-HBM path (bitcast int4 unpack +
+        per-group scales) must equal the jnp oracle."""
+        from nanovllm_tpu.ops.pallas.quant_matmul import (
+            dequantizable, pallas_dequantize,
+        )
+        from nanovllm_tpu.ops.quant import dequantize, quantize
+
+        w = jax.random.normal(jax.random.PRNGKey(5), (512, 384), jnp.float32)
+        qt = quantize(w, 4)
+        assert dequantizable(qt)
+        ref = np.asarray(dequantize(qt, jnp.float32), np.float32)
+        got = np.asarray(
+            pallas_dequantize(qt, jnp.float32, interpret=True), np.float32)
+        np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-6)

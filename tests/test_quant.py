@@ -34,7 +34,8 @@ class TestQuantize:
     def test_int4_roundtrip_error(self):
         w = _rand((256, 128), seed=1)
         qt = quantize(w, 4)
-        assert qt.data.dtype == jnp.uint8
+        # int8 storage: the fused kernel bitcasts packed bytes to int4.
+        assert qt.data.dtype == jnp.int8
         assert qt.data.shape == (128, 128)  # packed pairs along in
         deq = dequantize(qt, jnp.float32)
         err = np.abs(np.asarray(deq) - np.asarray(w))
