@@ -189,12 +189,14 @@ def main():
         quantization="int8", kv_cache_dtype="int8")
 
     # Config 3 at the Qwen3-4B architecture BASELINE.md names (block 128
-    # keeps 256 seqs x 3 blocks + 4 GB int8 weights inside one chip's HBM).
+    # + an exact 3-blocks-per-seq pool keeps 256 seqs + 4 GB int8 weights
+    # inside one chip's HBM).
     try:
         published["config3_qwen3_4b_int8_w_int8_kv_batch256"] = bench_config(
             make_model_dir(QWEN3_4B, "qwen3_4b"),
             "config3-4B int8+int8kv batch=256", num_seqs=256,
             block_size=128, warmups=1,
+            num_kvcache_blocks=256 * 3 + 8,
             quantization="int8", kv_cache_dtype="int8")
     except Exception as e:
         print(f"# config3-4B failed: {e!r}", file=sys.stderr, flush=True)
@@ -206,6 +208,7 @@ def main():
             make_model_dir(QWEN3_8B, "qwen3_8b"),
             "config4-8B int4+int8kv batch=256", num_seqs=256,
             block_size=128, warmups=1,
+            num_kvcache_blocks=256 * 3 + 8,
             quantization="int4", kv_cache_dtype="int8")
     except Exception as e:
         print(f"# config4-8B failed: {e!r}", file=sys.stderr, flush=True)

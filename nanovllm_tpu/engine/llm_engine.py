@@ -228,12 +228,40 @@ class LLMEngine:
             self.stopped = True
         self._steps_since_sync = 0
 
-    def serve_follower(self) -> None:
+    def serve_follower(self, heartbeat_interval_s: float = 60.0) -> None:
         """Follower (non-rank-0) serving loop: replays the replicated
         engine until the rank-0 frontend broadcasts shutdown. Blocks inside
-        the intake broadcast while idle."""
+        the intake broadcast while idle.
+
+        Liveness: logs a heartbeat every `heartbeat_interval_s` of wall
+        time so operators can distinguish a healthy idle follower from a
+        wedged one; a coordinator/rank-0 loss surfaces as the collective's
+        error, logged with context before re-raising (jax.distributed's
+        heartbeat watchdog kills the process group underneath us — the
+        re-raise lets a supervisor restart + re-prefill via the preemption
+        state machine)."""
+        last = time.monotonic()
+        steps = 0
         while not self.stopped:
-            self.step()
+            try:
+                self.step()
+            except Exception:
+                logger.exception(
+                    "follower serving loop failed after %d steps (rank-0 "
+                    "or coordinator lost?) — resume by restarting the "
+                    "process group; in-flight requests recover via "
+                    "re-prefill", steps,
+                )
+                raise
+            steps += 1
+            now = time.monotonic()
+            if now - last >= heartbeat_interval_s:
+                st = self.scheduler.get_stats()
+                logger.info(
+                    "follower alive: %d steps, running=%d waiting=%d",
+                    steps, st.num_running, st.num_waiting,
+                )
+                last = now
 
     def multihost_shutdown(self) -> None:
         """Rank 0: broadcast the stop sentinel so followers exit

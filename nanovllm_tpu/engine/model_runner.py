@@ -197,23 +197,35 @@ class ModelRunner:
             params = self.family.load_weights(
                 self.model_config, self.config.model_path, self.dtype
             )
-        else:
-            logger.warning(
-                "no safetensors in %s — using random-init weights", self.config.model_path
-            )
-            params = self.family.init_params(
-                self.model_config, jax.random.PRNGKey(rng_seed), self.dtype
-            )
-        if self.config.quantization:
-            from nanovllm_tpu.ops.quant import quantize_params
+            if self.config.quantization:
+                from nanovllm_tpu.ops.quant import quantize_params
 
-            params = quantize_params(
-                params,
+                params = quantize_params(
+                    params,
+                    self.config.quantization,
+                    include_embedding=self.config.quantize_lm_head,
+                    dtype=self.config.dtype,
+                )
+            return params
+        logger.warning(
+            "no safetensors in %s — using random-init weights", self.config.model_path
+        )
+        transform = None
+        if self.config.quantization:
+            # Quantize each weight the moment it is generated: a quantized
+            # 8B model then initializes within one chip's HBM even though
+            # the full bf16 tree would not fit.
+            from nanovllm_tpu.ops.quant import make_init_quantizer
+
+            transform = make_init_quantizer(
                 self.config.quantization,
                 include_embedding=self.config.quantize_lm_head,
                 dtype=self.config.dtype,
             )
-        return params
+        return self.family.init_params(
+            self.model_config, jax.random.PRNGKey(rng_seed), self.dtype,
+            transform=transform,
+        )
 
     def _kv_dtype(self):
         kd = self.config.kv_cache_dtype

@@ -112,7 +112,8 @@ class Qwen3Config:
 # Params
 # ---------------------------------------------------------------------------
 
-def init_params(cfg: Qwen3Config, rng: jax.Array, dtype=jnp.bfloat16) -> dict:
+def init_params(cfg: Qwen3Config, rng: jax.Array, dtype=jnp.bfloat16,
+                transform=None) -> dict:
     """Random-init params pytree (for tests and synthetic benchmarks).
 
     Layout (weights are [in, out] so forward is x @ W):
@@ -122,22 +123,31 @@ def init_params(cfg: Qwen3Config, rng: jax.Array, dtype=jnp.bfloat16) -> dict:
         k_norm [L, Dh], o [L, Hq*Dh, D], post_ln [L, D],
         gate_up [L, D, 2*I], down [L, I, D]
       final_ln: [D]; lm_head: [V, D] (absent if tied)
+
+    transform(name, array) is applied to each big weight AS IT IS CREATED
+    (e.g. ops.quant.make_init_quantizer): the float source is dropped
+    before the next tensor generates, so a quantized 8B model initializes
+    within one 16 GB chip even though its bf16 tree would not fit.
     """
     D, I = cfg.hidden_size, cfg.intermediate_size
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     L, V = cfg.num_hidden_layers, cfg.vocab_size
     ks = jax.random.split(rng, 6)
+    t = transform or (lambda name, a: a)
 
-    def w(key, shape, fan_in):
-        return (jax.random.normal(key, shape, jnp.float32) / jnp.sqrt(fan_in)).astype(dtype)
+    def w(name, key, shape, fan_in):
+        # Generate in the target dtype directly: an f32 intermediate of an
+        # 8B stacked tensor is ~14 GB on its own.
+        return t(name, jax.random.normal(key, shape, dtype)
+                 / jnp.sqrt(fan_in).astype(dtype))
 
     layers = {
         "input_ln": jnp.ones((L, D), dtype),
-        "qkv": w(ks[1], (L, D, (Hq + 2 * Hkv) * Dh), D),
-        "o": w(ks[2], (L, Hq * Dh, D), Hq * Dh),
+        "qkv": w("qkv", ks[1], (L, D, (Hq + 2 * Hkv) * Dh), D),
+        "o": w("o", ks[2], (L, Hq * Dh, D), Hq * Dh),
         "post_ln": jnp.ones((L, D), dtype),
-        "gate_up": w(ks[3], (L, D, 2 * I), D),
-        "down": w(ks[4], (L, I, D), I),
+        "gate_up": w("gate_up", ks[3], (L, D, 2 * I), D),
+        "down": w("down", ks[4], (L, I, D), I),
     }
     if cfg.use_qk_norm:
         layers["q_norm"] = jnp.ones((L, Dh), dtype)
@@ -145,12 +155,12 @@ def init_params(cfg: Qwen3Config, rng: jax.Array, dtype=jnp.bfloat16) -> dict:
     if cfg.attention_bias:
         layers["qkv_bias"] = jnp.zeros((L, (Hq + 2 * Hkv) * Dh), dtype)
     params = {
-        "embedding": w(ks[0], (V, D), D),
+        "embedding": w("embedding", ks[0], (V, D), D),
         "layers": layers,
         "final_ln": jnp.ones((D,), dtype),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = w(ks[5], (V, D), D)
+        params["lm_head"] = w("lm_head", ks[5], (V, D), D)
     return params
 
 
@@ -255,7 +265,7 @@ def forward(
 
         # Attention block (reference: qwen3.rs:208-240)
         x = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
-        qkv = matmul(x, lp["qkv"], mesh=mesh)  # [T, (Hq+2Hkv)*Dh]
+        qkv = matmul(x, lp["qkv"], mesh=mesh, tp="column")  # [T, (Hq+2Hkv)*Dh]
         if cfg.attention_bias:
             qkv = qkv + lp["qkv_bias"]
         q, k, v = jnp.split(qkv, [Hq * Dh, (Hq + Hkv) * Dh], axis=-1)
@@ -394,13 +404,13 @@ def forward(
             kc = kv_cache_write(kc, k, meta.slot_mapping, layer_idx)
             vc = kv_cache_write(vc, v, meta.slot_mapping, layer_idx)
             attn = paged_attention_ref(q, kc, vc, layer_idx, meta, scale)
-        h = h + matmul(attn.reshape(T, Hq * Dh), lp["o"], mesh=mesh)
+        h = h + matmul(attn.reshape(T, Hq * Dh), lp["o"], mesh=mesh, tp="row")
 
         # MLP block (reference: qwen3.rs:305-314)
         x = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
-        gate_up = matmul(x, lp["gate_up"], mesh=mesh)
+        gate_up = matmul(x, lp["gate_up"], mesh=mesh, tp="column")
         gate, up = jnp.split(gate_up, 2, axis=-1)
-        h = h + matmul(jax.nn.silu(gate) * up, lp["down"], mesh=mesh)
+        h = h + matmul(jax.nn.silu(gate) * up, lp["down"], mesh=mesh, tp="row")
         if window is not None:
             # This layer's K/V rows stack into [L, S, Hkv, Dh] via ys; the
             # caller writes them into the staging buffer once per substep.

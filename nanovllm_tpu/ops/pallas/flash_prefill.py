@@ -333,6 +333,12 @@ def paged_attention_prefill(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, Hkv, Qpad, G, Dh), q.dtype),
+        # Q tiles + double-buffered KV block fetches exceed the default
+        # 16 MB scoped-vmem budget at large-model shapes (e.g. Qwen3-4B/8B
+        # batches with Qpad 512); v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*operands)
     # Back to the flat token layout: [S, Hkv, Qpad, G, Dh] -> [T, Hq, Dh].

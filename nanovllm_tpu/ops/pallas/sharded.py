@@ -209,3 +209,65 @@ def sharded_paged_attention_window(mesh: Mesh, q, k_new, v_new, k_staged,
         check_rep=False,
     )(q, k_new, v_new, k_staged, v_staged, k_cache, v_cache, layer_idx,
       block_tables, start_lens, substep)
+
+
+def sharded_quant_matmul(mesh: Mesh, x, qt, tp: str, *,
+                         interpret: bool = False):
+    """Fused int4 dequant+matmul under tensor parallelism.
+
+    tp="column": weight out-dim sharded over the model axis, x replicated
+    on features -> output feature-sharded (qkv/gate_up).
+    tp="row": weight in-dim sharded, x feature-sharded -> per-shard
+    partial products psum'd over the model axis (o/down).
+    Batch (dim 0) rides the data axis in both cases. Per-shard compute is
+    the same fused kernel / dequant-to-HBM dispatch as single-chip
+    (ops/pallas/quant_matmul.py)."""
+    from nanovllm_tpu.ops.pallas.quant_matmul import (
+        dequantizable,
+        fusable,
+        fused_quant_matmul,
+        pallas_dequantize,
+    )
+    from nanovllm_tpu.ops.quant import QuantizedTensor, dequantize
+    from nanovllm_tpu.parallel.mesh import AXIS_DATA
+
+    import jax.numpy as jnp
+
+    bits, G, pack = qt.bits, qt.group_size, qt.pack
+
+    def local(xl, data, scale):
+        qtl = QuantizedTensor(data=data, scale=scale, bits=bits,
+                              group_size=G, pack=pack)
+        if fusable(xl, qtl):
+            out = fused_quant_matmul(xl, qtl, interpret=interpret)
+        elif dequantizable(qtl):
+            out = jnp.dot(xl, pallas_dequantize(qtl, xl.dtype,
+                                                interpret=interpret),
+                          preferred_element_type=xl.dtype)
+        else:
+            out = jnp.dot(xl, dequantize(qtl, xl.dtype),
+                          preferred_element_type=xl.dtype)
+        if tp == "row":
+            out = jax.lax.psum(out, AXIS_MODEL)
+        return out
+
+    if tp == "column":
+        x_spec = P(AXIS_DATA, None)
+        data_spec = P(None, AXIS_MODEL)
+        scale_spec = P(None, AXIS_MODEL)
+        out_spec = P(AXIS_DATA, AXIS_MODEL)
+    else:
+        x_spec = P(AXIS_DATA, AXIS_MODEL)
+        data_spec = P(AXIS_MODEL, None)
+        # Group scales [in/G, out] shard along in/G; per-channel scales
+        # (size-1 in dim) cannot — callers guard (quant_matmul falls back).
+        scale_spec = P(AXIS_MODEL, None)
+        out_spec = P(AXIS_DATA, None)
+
+    return _shard_map_mod.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(x_spec, data_spec, scale_spec),
+        out_specs=out_spec,
+        check_rep=False,
+    )(x, qt.data, qt.scale)

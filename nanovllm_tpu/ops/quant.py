@@ -85,33 +85,47 @@ def quantize(w: jax.Array, bits: int, group_size: Optional[int] = None) -> Quant
     partial dot product.
 
     Runs in jnp ON DEVICE: pulling multi-GB weights through numpy costs
-    minutes on a tunneled device attachment (and doubles host RAM)."""
+    minutes on a tunneled device attachment (and doubles host RAM). Layer-
+    stacked tensors quantize through lax.map so the f32 temporaries stay
+    one-layer-sized (a whole-tensor f32 copy of an 8B-model stacked weight
+    OOMs a 16 GB chip)."""
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     *lead, in_dim, out_dim = w.shape
     G = _pick_group_size(in_dim, group_size)
     qmax = 127.0 if bits == 8 else 7.0
 
-    wf = jnp.asarray(w, jnp.float32).reshape(*lead, in_dim // G, G, out_dim)
-    absmax = jnp.abs(wf).max(axis=-2, keepdims=True)  # [..., in/G, 1, out]
-    scale = jnp.maximum(absmax / qmax, 1e-12)
-    q = jnp.clip(jnp.rint(wf / scale), -qmax, qmax).astype(jnp.int8)
-    q = q.reshape(*lead, in_dim, out_dim)
-    scale = scale.squeeze(-2)  # [..., in/G, out]
+    def core(w2):
+        wf = w2.astype(jnp.float32).reshape(in_dim // G, G, out_dim)
+        absmax = jnp.abs(wf).max(axis=-2, keepdims=True)  # [in/G, 1, out]
+        scale = jnp.maximum(absmax / qmax, 1e-12)
+        q = jnp.clip(jnp.rint(wf / scale), -qmax, qmax).astype(jnp.int8)
+        q = q.reshape(in_dim, out_dim)
+        scale = scale.squeeze(-2).astype(jnp.float32)  # [in/G, out]
+        if bits == 4:
+            # pair: row 2i -> low nibble, row 2i+1 -> high nibble; int8
+            # storage (the fused kernel bitcasts the bytes straight to
+            # int4).
+            lo = q[0::2, :].astype(jnp.uint8) & 0x0F
+            hi = q[1::2, :].astype(jnp.uint8) & 0x0F
+            data = jax.lax.bitcast_convert_type(lo | (hi << 4), jnp.int8)
+        else:
+            data = q
+        return data, scale
 
-    if bits == 4:
-        # pair: row 2i -> low nibble, row 2i+1 -> high nibble; int8 storage
-        # (the fused kernel bitcasts the packed bytes straight to int4).
-        lo = q[..., 0::2, :].astype(jnp.uint8) & 0x0F
-        hi = q[..., 1::2, :].astype(jnp.uint8) & 0x0F
-        data = jax.lax.bitcast_convert_type(lo | (hi << 4), jnp.int8)
-        pack = "pair"
+    wj = jnp.asarray(w)
+    if len(lead) == 0:
+        data, scale = core(wj)
+    elif len(lead) == 1:
+        data, scale = jax.lax.map(core, wj)
     else:
-        data = q
-        pack = "none"
+        flat = wj.reshape(-1, in_dim, out_dim)
+        data, scale = jax.lax.map(core, flat)
+        data = data.reshape(*lead, *data.shape[1:])
+        scale = scale.reshape(*lead, *scale.shape[1:])
     return QuantizedTensor(
-        data=data, scale=scale.astype(jnp.float32), bits=bits,
-        group_size=G, pack=pack,
+        data=data, scale=scale, bits=bits, group_size=G,
+        pack="pair" if bits == 4 else "none",
     )
 
 
@@ -141,7 +155,8 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     return w.reshape(*lead, in_dim, out).astype(dtype)
 
 
-def quant_matmul(x: jax.Array, qt: QuantizedTensor, mesh=None) -> jax.Array:
+def quant_matmul(x: jax.Array, qt: QuantizedTensor, mesh=None,
+                 tp: Optional[str] = None) -> jax.Array:
     """x [T, in] @ dequant(qt) [in, out] → [T, out] (x.dtype preserved).
 
     Dispatch (v5e measurements, experiments/quant_profile.py, decode-shape
@@ -151,14 +166,18 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, mesh=None) -> jax.Array:
       (946 us — faster than both bf16 at 1401 us and the fused Pallas
       kernel at 1142 us, whose ~3.7 us/launch x 112 calls/step is pure
       overhead). Also TP-native: XLA partitions the dot over the mesh.
-    - INT4 → fused Pallas kernel at ALL batch sizes (decode AND prefill;
-      the r3 bitcast unpack + batch-tiled grid covers prefill-scale token
-      counts — XLA's int4 dequant-dot measures 2512 us at decode and 2.8x
-      slower than bf16 at prefill). Falls back to dequantize-then-dot for
-      non-tileable shapes and under a mesh (pallas_call does not partition
-      over the model axis — the fallback keeps TP memory-correct).
+    - INT4 → fused Pallas kernel for decode batches and pallas_dequantize
+      (one unpack-to-HBM streaming pass) + XLA matmul at prefill scale
+      (XLA's own int4 dequant-dot measures 2512 us at decode and 2.8x
+      slower than bf16 at prefill). Under a mesh the same dispatch runs
+      per shard via shard_map when the caller supplies the TP orientation
+      (`tp="column"`: out-dim sharded; `tp="row"`: in-dim sharded +
+      psum) — BASELINE config 4's int4 x tensor-parallel combination
+      stays on the fused path. Falls back to dequantize-then-dot for
+      non-tileable shapes or missing hints.
     """
-    if jax.default_backend() == "tpu" and qt.bits == 4 and mesh is None:
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and qt.bits == 4 and mesh is None:
         from nanovllm_tpu.ops.pallas.quant_matmul import (
             dequantizable,
             fusable,
@@ -173,15 +192,30 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, mesh=None) -> jax.Array:
             # pass), then XLA's compute-bound matmul at full MXU rate.
             w = pallas_dequantize(qt, x.dtype)
             return jnp.dot(x, w, preferred_element_type=x.dtype)
+    if (
+        on_tpu
+        and qt.bits == 4
+        and mesh is not None
+        and tp in ("column", "row")
+        # Row-parallel shards group scales along in/G — per-channel scales
+        # (collapsed in dim) cannot shard; fall back.
+        and not (tp == "row" and qt.scale.shape[0] == 1)
+    ):
+        from nanovllm_tpu.ops.pallas.sharded import sharded_quant_matmul
+
+        return sharded_quant_matmul(mesh, x, qt, tp)
     w = dequantize(qt, x.dtype)
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 
 
-def matmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor], mesh=None) -> jax.Array:
+def matmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor], mesh=None,
+           tp: Optional[str] = None) -> jax.Array:
     """The model-forward matmul dispatch: plain arrays take the MXU matmul,
-    QuantizedTensor takes the dequant path."""
+    QuantizedTensor takes the dequant path. `tp` declares the weight's
+    tensor-parallel orientation ("column"/"row") so quantized matmuls can
+    run per-shard under a mesh."""
     if isinstance(w, QuantizedTensor):
-        return quant_matmul(x, w, mesh=mesh)
+        return quant_matmul(x, w, mesh=mesh, tp=tp)
     return x @ w
 
 
@@ -220,14 +254,25 @@ class QuantizedEmbedding:
 
 def quantize_embedding(w: jax.Array, dtype: str = "bfloat16") -> QuantizedEmbedding:
     """Symmetric per-vocab-row INT8 quantization of an embedding/lm_head
-    weight [V, D] (jnp on device — see `quantize`)."""
-    wf = jnp.asarray(w, jnp.float32)
-    absmax = jnp.abs(wf).max(axis=1)  # [V]
-    scale = jnp.maximum(absmax / 127.0, 1e-12)
-    q = jnp.clip(jnp.rint(wf / scale[:, None]), -127, 127).astype(jnp.int8)
-    return QuantizedEmbedding(
-        data=q, scale=scale.astype(jnp.float32), dtype=dtype
-    )
+    weight [V, D] (jnp on device, vocab-chunked so the f32 temporary stays
+    small — see `quantize`)."""
+    V, D = w.shape
+
+    def core(w2):
+        wf = w2.astype(jnp.float32)
+        absmax = jnp.abs(wf).max(axis=1)
+        scale = jnp.maximum(absmax / 127.0, 1e-12)
+        q = jnp.clip(jnp.rint(wf / scale[:, None]), -127, 127).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+
+    wj = jnp.asarray(w)
+    C = next((c for c in (16, 8, 4, 2) if V % c == 0), 1)
+    if C > 1:
+        q, s = jax.lax.map(core, wj.reshape(C, V // C, D))
+        q, s = q.reshape(V, D), s.reshape(V)
+    else:
+        q, s = core(wj)
+    return QuantizedEmbedding(data=q, scale=s, dtype=dtype)
 
 
 def embedding_lookup(emb, token_ids: jax.Array) -> jax.Array:
@@ -251,10 +296,7 @@ def lm_head_logits(x: jax.Array, lm_w) -> jax.Array:
 _QUANT_KEYS = ("qkv", "o", "gate_up", "down")
 
 
-def quantize_params(params: dict, method: str, group_size: Optional[int] = None,
-                    include_embedding: bool = True, dtype: str = "bfloat16") -> dict:
-    """Quantize the big matmul weights of a loaded params pytree in place
-    (applied once at load time, reference capability: none — north star)."""
+def _resolve_bits(method: str, group_size: Optional[int]) -> tuple:
     bits = {"int8": 8, "int4": 4}.get(method)
     if bits is None:
         raise ValueError(f"unknown quantization method {method!r}")
@@ -262,13 +304,47 @@ def quantize_params(params: dict, method: str, group_size: Optional[int] = None,
         # Per-out-channel scales: int8 steps are fine enough, and a single
         # scale row per tile keeps the fused kernel's VPU work minimal.
         group_size = -1
-    out = dict(params)
-    layers = dict(params["layers"])
+    return bits, group_size
+
+
+def quantize_params(params: dict, method: str, group_size: Optional[int] = None,
+                    include_embedding: bool = True, dtype: str = "bfloat16") -> dict:
+    """Quantize the big matmul weights of a loaded params pytree (applied
+    once at load time, reference capability: none — north star). CONSUMES
+    the input tree: each original weight is dropped as soon as its
+    quantized replacement exists, bounding peak device memory to the full
+    source tree + one quantized tensor (not source + full quantized)."""
+    bits, group_size = _resolve_bits(method, group_size)
+    layers = params["layers"]
     for k in _QUANT_KEYS:
-        layers[k] = quantize(layers[k], bits, group_size)
-    out["layers"] = layers
+        orig = layers.pop(k)
+        layers[k] = quantize(orig, bits, group_size)
+        del orig
     if include_embedding:
-        out["embedding"] = quantize_embedding(params["embedding"], dtype)
+        orig = params.pop("embedding")
+        params["embedding"] = quantize_embedding(orig, dtype)
+        del orig
         if "lm_head" in params:
-            out["lm_head"] = quantize_embedding(params["lm_head"], dtype)
-    return out
+            orig = params.pop("lm_head")
+            params["lm_head"] = quantize_embedding(orig, dtype)
+            del orig
+    return params
+
+
+def make_init_quantizer(method: str, group_size: Optional[int] = None,
+                        include_embedding: bool = True,
+                        dtype: str = "bfloat16"):
+    """A per-leaf transform for init_params(..., transform=...): quantizes
+    each big weight THE MOMENT it is generated, so random-init + quantize
+    of models whose bf16 weights alone would overflow HBM (Qwen3-8B on one
+    16 GB chip) never materializes the full float tree."""
+    bits, group_size = _resolve_bits(method, group_size)
+
+    def transform(name: str, arr):
+        if name in _QUANT_KEYS:
+            return quantize(arr, bits, group_size)
+        if include_embedding and name in ("embedding", "lm_head"):
+            return quantize_embedding(arr, dtype)
+        return arr
+
+    return transform

@@ -59,10 +59,15 @@ def quantization_ppl_report(cfg, params, token_lists: List[List[int]],
     Returns {"bf16": ppl, "int8": ppl, "int4": ppl, ...}; the serving
     acceptance bar is ppl[method] - ppl["bf16"] < 0.1.
     """
+    import jax
+
     from nanovllm_tpu.ops.quant import quantize_params
 
     report = {"bf16": perplexity(cfg, params, token_lists, **kw)}
     for m in methods:
-        qp = quantize_params(params, m)
+        # quantize_params consumes its input tree structure (it bounds peak
+        # memory at load time) — hand it a fresh container copy; the jax
+        # array leaves themselves are immutable and shared.
+        qp = quantize_params(jax.tree.map(lambda x: x, params), m)
         report[m] = perplexity(cfg, qp, token_lists, **kw)
     return report

@@ -110,8 +110,10 @@ class TestQuantizeParams:
         # The head is int8 per-vocab-row by default (largest decode read)...
         assert isinstance(qp["embedding"], QuantizedEmbedding)
         assert isinstance(qp["layers"]["input_ln"], jax.Array)
-        # ...and stays full precision when opted out.
-        qp2 = quantize_params(params, "int8", include_embedding=False)
+        # ...and stays full precision when opted out. quantize_params
+        # CONSUMES its input (memory bound), so build a fresh tree.
+        params2 = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        qp2 = quantize_params(params2, "int8", include_embedding=False)
         assert isinstance(qp2["embedding"], jax.Array)
 
     def test_quantized_embedding_tracks_full_precision(self):

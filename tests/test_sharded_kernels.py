@@ -242,3 +242,23 @@ def test_sharded_window_commit_quantized_matches_single(tp):
     np.testing.assert_array_equal(
         np.asarray(got_vc[0], np.float32), np.asarray(ref_vc[0], np.float32))
     np.testing.assert_allclose(np.asarray(got_vc[1]), np.asarray(ref_vc[1]), rtol=1e-6)
+
+
+@pytest.mark.parametrize("tp_mode", ["column", "row"])
+def test_sharded_quant_matmul_matches_jnp(tp_mode):
+    """int4 fused matmul under TP (column: out-sharded; row: in-sharded +
+    psum) == the jnp dequant oracle (BASELINE config-4's int4 x TP path)."""
+    from nanovllm_tpu.ops.pallas.sharded import sharded_quant_matmul
+    from nanovllm_tpu.ops.quant import dequantize, quantize
+
+    rng = jax.random.PRNGKey(7)
+    IN, OUT, S = 512, 256, 16
+    x = jax.random.normal(jax.random.fold_in(rng, 0), (S, IN), jnp.float32)
+    x = x.astype(jnp.bfloat16).astype(jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (IN, OUT), jnp.float32)
+    qt = quantize(w, 4)
+    ref = np.asarray(x @ dequantize(qt, jnp.float32), np.float32)
+    mesh = build_mesh(tensor_parallel_size=2)
+    got = np.asarray(
+        sharded_quant_matmul(mesh, x, qt, tp_mode, interpret=True), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
