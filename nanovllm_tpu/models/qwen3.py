@@ -49,10 +49,15 @@ class Qwen3Config:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
-    # Long-context hook (reference: rotary_embedding.rs:122-133
-    # `new_with_scaling` — RoPE base x factor): parsed from HF
-    # config.json's rope_scaling when type is linear.
+    # Long-context hooks. rope_scaling_factor is the reference's only
+    # mechanism (rotary_embedding.rs:122-133 `new_with_scaling` — RoPE
+    # base x factor), parsed from HF config.json's rope_scaling when type
+    # is linear. rope_scaling carries the full HF dict for richer schemes:
+    # type "yarn" (the scheme Qwen3 ships for >32k contexts) is
+    # implemented per HF transformers' _compute_yarn_parameters —
+    # per-dimension interpolation/extrapolation ramp + attention mscale.
     rope_scaling_factor: float = 1.0
+    rope_scaling: Optional[dict] = None
     # Family switches: Qwen3 applies per-head-dim RMSNorm to q/k before
     # RoPE; Llama/Mistral don't; Qwen2 adds qkv biases instead.
     use_qk_norm: bool = True
@@ -62,10 +67,12 @@ class Qwen3Config:
     def from_hf(cls, d: dict, **overrides) -> "Qwen3Config":
         heads = d["num_attention_heads"]
         scaling = d.get("rope_scaling") or {}
+        stype = scaling.get("rope_type", scaling.get("type"))
         factor = 1.0
-        if scaling.get("rope_type", scaling.get("type")) == "linear":
+        if stype == "linear":
             factor = float(scaling.get("factor", 1.0))
         return cls(
+            rope_scaling=dict(scaling) if stype == "yarn" else None,
             **overrides,
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -201,15 +208,65 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (weight.astype(jnp.float32) * normed).astype(x.dtype)
 
 
-def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
-    """Split-half rotation (reference: src/layers/rotary_embedding.rs:23-48,
-    matching HF rotate_half). x: [T, H, Dh], positions: [T]."""
-    Dh = x.shape[-1]
+def rope_params(cfg: "Qwen3Config"):
+    """Per-dimension inverse frequencies + attention mscale for this
+    config's RoPE scheme.
+
+    - default / "linear": theta x rope_scaling_factor (the reference's
+      base-scaling hook, rotary_embedding.rs:122-133), mscale 1.
+    - "yarn" (Qwen3's documented long-context mode): per HF transformers'
+      `_compute_yarn_parameters` — interpolated frequencies below the
+      beta_slow wavelength, extrapolated above beta_fast, linear ramp
+      between, cos/sin scaled by attention_factor (0.1*ln(s)+1 default).
+    """
+    import math
+
+    Dh = cfg.head_dim
     half = Dh // 2
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) * 2.0 / Dh))
+    sc = cfg.rope_scaling or {}
+    if sc.get("rope_type", sc.get("type")) == "yarn":
+        base = cfg.rope_theta
+        factor = float(sc.get("factor", 1.0))
+        orig = float(
+            sc.get("original_max_position_embeddings")
+            or cfg.max_position_embeddings
+        )
+        beta_fast = float(sc.get("beta_fast", 32))
+        beta_slow = float(sc.get("beta_slow", 1))
+        pos_freqs = base ** (jnp.arange(0, Dh, 2, dtype=jnp.float32) / Dh)
+        extra = 1.0 / pos_freqs
+        inter = 1.0 / (factor * pos_freqs)
+
+        def corr_dim(n_rot):
+            return (Dh * math.log(orig / (n_rot * 2 * math.pi))) / (
+                2 * math.log(base))
+
+        low = max(math.floor(corr_dim(beta_fast)), 0)
+        high = min(math.ceil(corr_dim(beta_slow)), Dh - 1)
+        ramp = jnp.clip(
+            (jnp.arange(half, dtype=jnp.float32) - low) / max(high - low, 1e-3),
+            0.0, 1.0,
+        )
+        ext_f = 1.0 - ramp
+        inv_freq = inter * (1.0 - ext_f) + extra * ext_f
+        af = sc.get("attention_factor")
+        mscale = float(af) if af is not None else 0.1 * math.log(factor) + 1.0
+        return inv_freq, mscale
+    theta = cfg.rope_theta * cfg.rope_scaling_factor
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, half, dtype=jnp.float32) * 2.0 / Dh))
+    return inv_freq, 1.0
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array,
+               mscale: float = 1.0) -> jax.Array:
+    """Split-half rotation (reference: src/layers/rotary_embedding.rs:23-48,
+    matching HF rotate_half). x: [T, H, Dh], positions: [T]; inv_freq
+    [Dh//2] from `rope_params`; cos/sin scaled by mscale (YaRN)."""
+    half = x.shape[-1] // 2
     angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, half]
-    cos = jnp.cos(angles)[:, None, :]  # [T, 1, half]
-    sin = jnp.sin(angles)[:, None, :]
+    cos = jnp.cos(angles)[:, None, :] * mscale  # [T, 1, half]
+    sin = jnp.sin(angles)[:, None, :] * mscale
     xf = x.astype(jnp.float32)
     x1, x2 = xf[..., :half], xf[..., half:]
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
@@ -277,11 +334,12 @@ def forward(
             # Per-head-dim q/k norm BEFORE RoPE (HF Qwen3Attention).
             q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-        # Linear RoPE scaling = base x factor (reference
-        # rotary_embedding.rs:122-133), the long-context extension hook.
-        theta = cfg.rope_theta * cfg.rope_scaling_factor
-        q = apply_rope(q, meta.positions, theta)
-        k = apply_rope(k, meta.positions, theta)
+        # RoPE with the config's long-context scheme: linear base scaling
+        # (reference parity, rotary_embedding.rs:122-133) or YaRN
+        # (per-dim interpolation ramp + mscale — Qwen3's >32k mode).
+        inv_freq, rope_mscale = rope_params(cfg)
+        q = apply_rope(q, meta.positions, inv_freq, rope_mscale)
+        k = apply_rope(k, meta.positions, inv_freq, rope_mscale)
 
         if attn_impl == "pallas_decode" and window is not None:
             # Decode-WINDOW attention, one kernel: committed history blocks

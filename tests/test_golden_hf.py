@@ -143,3 +143,53 @@ class TestGoldenLogits:
         while not engine.scheduler.is_finished():
             engine.step()
         assert seq.completion_token_ids == ref_new
+
+
+class TestYarnRope:
+    """YaRN long-context scaling (Qwen3's documented >32k mode, beyond the
+    reference's linear base-scaling hook) must match HF transformers'
+    _compute_yarn_parameters numerically."""
+
+    @pytest.fixture(scope="class")
+    def yarn_model_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("hf_qwen3_yarn")
+        cfg = transformers.Qwen3Config(
+            **TINY,
+            attention_bias=False,
+            use_cache=False,
+            rope_scaling={
+                "rope_type": "yarn",
+                "factor": 4.0,
+                "original_max_position_embeddings": 128,
+            },
+        )
+        torch.manual_seed(3)
+        model = transformers.Qwen3ForCausalLM(cfg).to(torch.float32).eval()
+        model.save_pretrained(d, safe_serialization=True)
+        with open(os.path.join(d, "config.json")) as f:
+            saved = json.load(f)
+        saved["model_type"] = "qwen3"
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(saved, f)
+        return str(d)
+
+    def test_yarn_logits_match_hf(self, yarn_model_dir):
+        from nanovllm_tpu.models.qwen3 import Qwen3Config
+        from nanovllm_tpu.utils.loader import read_hf_config
+
+        cfg = Qwen3Config.from_hf(read_hf_config(yarn_model_dir))
+        assert cfg.rope_scaling and cfg.rope_scaling.get("rope_type") == "yarn"
+
+        m = transformers.Qwen3ForCausalLM.from_pretrained(
+            yarn_model_dir, torch_dtype=torch.float32).eval()
+        rng = np.random.RandomState(5)
+        # Lengths beyond original_max_position_embeddings=128 exercise the
+        # interpolated frequencies; shorter ones the extrapolated band.
+        prompts = [rng.randint(0, TINY["vocab_size"], size=n).tolist()
+                   for n in (9, 40, 150)]
+        ours = _our_logits(yarn_model_dir, prompts)
+        for i, ids in enumerate(prompts):
+            with torch.no_grad():
+                out = m(torch.tensor([ids]))
+            ref = out.logits[0, -1].numpy()
+            np.testing.assert_allclose(ours[i], ref, rtol=2e-3, atol=2e-3)
