@@ -45,6 +45,9 @@ def _add_sampling_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--frequency-penalty", type=float, default=0.0)
     p.add_argument("--presence-penalty", type=float, default=0.0)
     p.add_argument("--ignore-eos", action="store_true")
+    p.add_argument("--stop", action="append", default=None, metavar="STR",
+                   help="stop string (repeatable); output truncates before "
+                        "the earliest match")
     p.add_argument("--seed", type=int, default=0, help="engine RNG seed")
     p.add_argument("--request-seed", type=int, default=None,
                    help="per-request sampling seed (batch-invariant)")
@@ -96,6 +99,7 @@ def _sampling(args):
         presence_penalty=args.presence_penalty,
         seed=args.request_seed,
         ignore_eos=args.ignore_eos,
+        stop=tuple(args.stop) if getattr(args, "stop", None) else None,
     )
 
 

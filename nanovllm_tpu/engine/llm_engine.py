@@ -327,6 +327,27 @@ class LLMEngine:
         # Truthful tokens/s numerator: only tokens actually appended to live
         # sequences (zombie windows / post-stop tokens excluded).
         self.perf.total_generated_tokens = self.scheduler.total_accepted_tokens
+        # Stop STRINGS are a text-level condition the token-level stop
+        # machinery cannot see: check the decoded completion of every
+        # still-live sequence that declares them. Runs identically on every
+        # host (deterministic tokenizer), so multi-host scheduling stays
+        # coherent.
+        for seq in handle.seqs:
+            if (
+                seq.status == SequenceStatus.RUNNING
+                and seq.sampling_params.stop
+                and seq.num_completion_tokens > 0
+            ):
+                text = self._detokenize(seq)
+                cut = min(
+                    (p for p in (text.find(s) for s in seq.sampling_params.stop)
+                     if p >= 0),
+                    default=-1,
+                )
+                if cut >= 0:
+                    seq.stop_text_end = cut
+                    self.scheduler.finish_stopped(seq)
+                    finished.append(seq)
         for seq in finished:
             outputs.append(seq.create_output(self._detokenize(seq)))
 
@@ -338,7 +359,10 @@ class LLMEngine:
         return not self.is_finished()
 
     def _detokenize(self, seq: Sequence) -> str:
-        return self.tokenizer.decode(seq.completion_token_ids)
+        text = self.tokenizer.decode(seq.completion_token_ids)
+        if seq.stop_text_end is not None:
+            text = text[: seq.stop_text_end]
+        return text
 
     # ------------------------------------------------------------------
     # Batch API (reference: llm_engine.rs:71-98, 131-152)
@@ -396,6 +420,9 @@ class LLMEngine:
                         and seq.status in (SequenceStatus.FINISHED, SequenceStatus.ERROR)
                     )
                     full = self.tokenizer.decode(seq.completion_token_ids[:emitted])
+                    if seq.stop_text_end is not None:
+                        # Stop-string finish: never stream past the match.
+                        full = full[: seq.stop_text_end]
                     # Detokenization holdback: a trailing replacement char
                     # usually means an incomplete UTF-8 / merge sequence that
                     # the next token will rewrite — don't emit it until done.

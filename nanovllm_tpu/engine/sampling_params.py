@@ -35,6 +35,17 @@ class SamplingParams:
     # compositions, decode windows, and pipeline depths (the Gumbel noise
     # derives from fold_in(PRNGKey(seed), tokens_generated_so_far)).
     seed: Optional[int] = None
+    # OpenAI-style stop strings: generation finishes when the decoded
+    # COMPLETION text contains any of them; the returned text is truncated
+    # before the earliest match (the stop string itself is excluded).
+    # Token ids may overshoot by up to one decode window — text is the
+    # contract. Accepts a str or a sequence of str; stored as a tuple.
+    stop: Optional[tuple] = None
+
+    def __post_init__(self):
+        if self.stop is not None and not isinstance(self.stop, tuple):
+            s = (self.stop,) if isinstance(self.stop, str) else tuple(self.stop)
+            object.__setattr__(self, "stop", s)
 
     # --- builders (reference: sampling_params.rs:43-84) ---
     def with_temperature(self, t: float) -> "SamplingParams":
@@ -63,6 +74,9 @@ class SamplingParams:
 
     def with_seed(self, s: int) -> "SamplingParams":
         return replace(self, seed=s)
+
+    def with_stop(self, stop) -> "SamplingParams":
+        return replace(self, stop=stop)
 
     def is_greedy(self) -> bool:
         """Greedy iff temperature == 0 (reference: sampling_params.rs:86-88)."""
@@ -95,3 +109,9 @@ class SamplingParams:
             raise ValueError(
                 f"presence_penalty must be in [-2, 2], got {self.presence_penalty}"
             )
+        if self.stop is not None:
+            if len(self.stop) > 16:
+                raise ValueError(f"at most 16 stop strings, got {len(self.stop)}")
+            for s in self.stop:
+                if not isinstance(s, str) or not s:
+                    raise ValueError(f"stop strings must be non-empty str, got {s!r}")

@@ -296,6 +296,24 @@ class Scheduler:
                 self.block_manager.register_decode_progress(seq)
         return finished
 
+    def finish_stopped(self, seq: Sequence, reason: str = "stop") -> None:
+        """Finish a live sequence on an engine-level condition the
+        token-level stop machinery cannot see (stop STRINGS matched against
+        decoded text). Same bookkeeping as the in-window stop path:
+        deallocate, dequeue, count. In-flight windows containing the
+        sequence become zombies and are discarded at fetch."""
+        if seq.status in (SequenceStatus.FINISHED, SequenceStatus.ERROR):
+            return
+        seq.finish()
+        seq.finish_reason = reason
+        self.block_manager.deallocate(seq)
+        for q in (self.running, self.waiting):
+            try:
+                q.remove(seq)
+            except ValueError:
+                pass
+        self.num_finished += 1
+
     # ------------------------------------------------------------------
     # Shutdown support (reference: scheduler.rs preempt_all via llm_engine.rs:345-357)
     # ------------------------------------------------------------------

@@ -90,6 +90,10 @@ class Sequence:
         self.admission_time: Optional[float] = None
         self.first_token_time: Optional[float] = None
         self.finish_reason: Optional[str] = None
+        # When finished by a stop STRING: char offset into the completion
+        # text where the output truncates (the match start — the stop
+        # string itself is excluded, OpenAI-style).
+        self.stop_text_end: Optional[int] = None
 
     # ------------------------------------------------------------------
     # Token bookkeeping

@@ -495,3 +495,37 @@ class TestAsyncPreemptionStress:
             )
             outs[async_mode] = [x.completion_token_ids for x in o]
         assert outs[False] == outs[True]
+
+
+class TestStopStrings:
+    def test_stop_string_truncates_and_finishes_early(self, model_dir):
+        """OpenAI-style stop strings: generation finishes when the decoded
+        completion contains the string; output text truncates BEFORE the
+        match; fewer tokens are accepted than max_tokens."""
+        eng = mkengine(model_dir, decode_window=4)
+        base = eng.generate(
+            ["stop me"], SamplingParams(temperature=0.0, max_tokens=24,
+                                        ignore_eos=True))[0]
+        assert base.num_completion_tokens == 24
+        # Pick a marker from the middle of the deterministic greedy text.
+        mid = len(base.text) // 2
+        marker = base.text[mid: mid + 4]
+        assert marker and marker in base.text
+
+        eng2 = mkengine(model_dir, decode_window=4)
+        out = eng2.generate(
+            ["stop me"], SamplingParams(temperature=0.0, max_tokens=24,
+                                        ignore_eos=True, stop=[marker]))[0]
+        assert out.finish_reason == "stop"
+        assert marker not in out.text
+        assert base.text.startswith(out.text)
+        assert out.num_completion_tokens < 24
+        # Blocks freed (no leak) despite the early text-level finish.
+        st = eng2.get_stats()
+        assert st.memory.free_blocks == st.memory.total_blocks
+
+    def test_stop_accepts_bare_string_and_validates(self, model_dir):
+        p = SamplingParams(stop="END")
+        assert p.stop == ("END",)
+        with pytest.raises(ValueError):
+            SamplingParams(stop=[""]).validate()
