@@ -202,7 +202,7 @@ def decode_window_budget():
         key = jax.random.PRNGKey(0)
 
         def run(toks, kc, vc):
-            out, kc, vc = step(p, kc, vc, toks, jnp.asarray(bt), jnp.asarray(cl), state, key)
+            out, _lp, kc, vc = step(p, kc, vc, toks, jnp.asarray(bt), jnp.asarray(cl), state, key)
             return out[-1], kc, vc
 
         toks = jnp.asarray(toks0)

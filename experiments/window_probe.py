@@ -56,7 +56,7 @@ def main():
         key = jax.random.PRNGKey(0)
 
         def run(toks, kc, vc):
-            out, kc, vc = step(p, kc, vc, toks, jnp.asarray(bt),
+            out, _lp, kc, vc = step(p, kc, vc, toks, jnp.asarray(bt),
                                jnp.asarray(cl), state, key)
             return out[-1], kc, vc
 

@@ -323,7 +323,31 @@ class LLMEngine:
     def _drain_oldest(self, outputs: List[SequenceOutput]) -> None:
         handle = self._pending.pop(0)
         token_windows = self.model_runner.fetch(handle)
+        # Logprobs ride the same dispatch; record pre-postprocess completion
+        # counts so the per-token lists stay aligned with ACCEPTED tokens
+        # (zombie windows and post-stop tokens are discarded below).
+        lp_windows = self.model_runner.fetch_logprobs(handle)
+        before = (
+            [s.num_completion_tokens for s in handle.seqs]
+            if lp_windows is not None else None
+        )
         finished = self.scheduler.postprocess_window(handle.seqs, token_windows, handle.k)
+        if lp_windows is not None:
+            chosen, top = lp_windows
+            for i, seq in enumerate(handle.seqs):
+                if seq.sampling_params.logprobs is None:
+                    continue
+                accepted = seq.num_completion_tokens - before[i]
+                if accepted <= 0:
+                    continue
+                if seq.completion_logprobs is None:
+                    seq.completion_logprobs = []
+                    seq.completion_top_logprobs = []
+                seq.completion_logprobs.extend(chosen[i][:accepted])
+                n = seq.sampling_params.logprobs
+                seq.completion_top_logprobs.extend(
+                    row[:n] for row in top[i][:accepted]
+                )
         # Truthful tokens/s numerator: only tokens actually appended to live
         # sequences (zombie windows / post-stop tokens excluded).
         self.perf.total_generated_tokens = self.scheduler.total_accepted_tokens

@@ -106,6 +106,10 @@ class DispatchHandle:
     k: int                 # speculative tokens per sequence
     tokens_dev: object     # jax.Array — prefill: [S]; decode: [K, S]
     row_of: Dict[int, int] = field(default_factory=dict)
+    # Device logprob bundle (chosen, top_vals, top_ids) when any sequence
+    # in the batch requested logprobs; None otherwise. Prefill shapes
+    # [S]/[S,n]; decode [K,S]/[K,S,n].
+    lp_dev: object = None
 
     def last_tokens_dev(self):
         """[S_prev] device array of each column's final sampled token."""
@@ -401,6 +405,9 @@ class ModelRunner:
             # Start the device->host copy now; it lands while the host
             # prepares the next dispatch, so fetch() is (near-)free.
             handle.tokens_dev.copy_to_host_async()
+            if handle.lp_dev is not None:
+                for arr in handle.lp_dev:
+                    arr.copy_to_host_async()
         except Exception:
             pass
         return handle
@@ -414,16 +421,56 @@ class ModelRunner:
             return [[int(t)] for t in out[:n]]
         return [out[:, i].tolist() for i in range(n)]
 
+    def fetch_logprobs(self, handle: DispatchHandle):
+        """Per-sequence logprob windows for a fetched dispatch, or None.
+
+        Returns (chosen, top) where chosen[i] is seq i's list of sampled-token
+        logprobs for this window (length 1 for prefill, k for decode) and
+        top[i] the parallel list of [(token_id, logprob), ...] top-N rows
+        (empty rows when the batch's top-N is 0)."""
+        if handle.lp_dev is None:
+            return None
+        lp, tv, ti = (np.asarray(a) for a in handle.lp_dev)
+        n = len(handle.seqs)
+        if handle.is_prefill:  # [S], [S, m], [S, m]
+            lp, tv, ti = lp[None], tv[None], ti[None]
+        # Decode shapes: [K, S], [K, S, m]. m == max(1, top_n) — a top_n of 0
+        # still computes one row on device (top_k needs k >= 1); drop it here.
+        top_n = self._logprobs_n(handle.seqs)
+        chosen = [lp[:, i].tolist() for i in range(n)]
+        if top_n <= 0:
+            top = [[[] for _ in range(lp.shape[0])] for _ in range(n)]
+        else:
+            top = [
+                [
+                    list(zip(ti[k, i, :top_n].tolist(), tv[k, i, :top_n].tolist()))
+                    for k in range(lp.shape[0])
+                ]
+                for i in range(n)
+            ]
+        return chosen, top
+
+    @staticmethod
+    def _logprobs_n(seqs: List[Sequence]) -> int:
+        """Static top-N for the batch: -1 = no row wants logprobs."""
+        return max(
+            (s.sampling_params.logprobs
+             if s.sampling_params.logprobs is not None else -1)
+            for s in seqs
+        )
+
     def _dispatch_prefill(self, seqs: List[Sequence], key) -> DispatchHandle:
         from nanovllm_tpu.engine.step_fn import build_prefill_step
 
         T, S, MAXBLK, Q = self._prefill_buckets(seqs)
         samp, flags = self._sampling_arrays(seqs, S)
-        fkey = tuple(sorted(flags.items()))
+        lp_n = self._logprobs_n(seqs)
+        fkey = (tuple(sorted(flags.items())), lp_n)
         if fkey not in self._prefill_fns:
             self._prefill_fns[fkey] = build_prefill_step(
                 self.model_config, self.family.forward, flags,
                 attn_impl=self.prefill_attn_impl, mesh=self.mesh,
+                logprobs_n=lp_n,
             )
         self._note_shape(("prefill", fkey, T, S, MAXBLK, Q, samp.buf.shape[1]))
 
@@ -436,11 +483,11 @@ class ModelRunner:
             for s in seqs
         ]
         tokens, meta = build_metadata(seqs_meta, self.block_size, T, S, MAXBLK, Q)
-        toks, self.k_cache, self.v_cache = self._prefill_fns[fkey](
+        toks, lp_dev, self.k_cache, self.v_cache = self._prefill_fns[fkey](
             self.params, self.k_cache, self.v_cache, tokens, meta, samp, key
         )
         return DispatchHandle(
-            seqs=seqs, is_prefill=True, k=1, tokens_dev=toks,
+            seqs=seqs, is_prefill=True, k=1, tokens_dev=toks, lp_dev=lp_dev,
             row_of={s.seq_id: i for i, s in enumerate(seqs)},
         )
 
@@ -458,12 +505,13 @@ class ModelRunner:
             S = _pick_bucket(num_seqs, self.config.decode_batch_buckets)
             MAXBLK = _next_pow2(max(len(s.block_table) for s in seqs))
         samp, flags = self._sampling_arrays(seqs, S)
-        fk = (K, tuple(sorted(flags.items())))
+        lp_n = self._logprobs_n(seqs)
+        fk = (K, tuple(sorted(flags.items())), lp_n)
         if fk not in self._decode_fns:
             self._decode_fns[fk] = build_decode_window(
                 self.model_config, self.family.forward, self.block_size, K, flags,
                 attn_impl=self.attn_impl, mesh=self.mesh,
-                window_commit=self.window_commit,
+                window_commit=self.window_commit, logprobs_n=lp_n,
             )
         self._note_shape(("decode", fk, S, MAXBLK, samp.buf.shape[1]))
 
@@ -505,7 +553,7 @@ class ModelRunner:
                         gen_counts=gen_counts,
                     )
 
-        toks, self.k_cache, self.v_cache = self._decode_fns[fk](
+        toks, lp_dev, self.k_cache, self.v_cache = self._decode_fns[fk](
             self.params,
             self.k_cache,
             self.v_cache,
@@ -516,6 +564,6 @@ class ModelRunner:
             key,
         )
         return DispatchHandle(
-            seqs=seqs, is_prefill=False, k=K, tokens_dev=toks,
+            seqs=seqs, is_prefill=False, k=K, tokens_dev=toks, lp_dev=lp_dev,
             row_of={s.seq_id: i for i, s in enumerate(seqs)},
         )

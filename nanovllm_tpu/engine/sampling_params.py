@@ -41,6 +41,12 @@ class SamplingParams:
     # Token ids may overshoot by up to one decode window — text is the
     # contract. Accepts a str or a sequence of str; stored as a tuple.
     stop: Optional[tuple] = None
+    # Logprobs: None = off; 0 = return the sampled token's logprob per
+    # completion token; 1..8 = additionally the top-N (token_id, logprob)
+    # rows. Computed from the model's raw distribution (log_softmax of the
+    # unprocessed logits, OpenAI semantics), on device inside the decode
+    # window.
+    logprobs: Optional[int] = None
 
     def __post_init__(self):
         if self.stop is not None and not isinstance(self.stop, tuple):
@@ -77,6 +83,9 @@ class SamplingParams:
 
     def with_stop(self, stop) -> "SamplingParams":
         return replace(self, stop=stop)
+
+    def with_logprobs(self, n: int) -> "SamplingParams":
+        return replace(self, logprobs=n)
 
     def is_greedy(self) -> bool:
         """Greedy iff temperature == 0 (reference: sampling_params.rs:86-88)."""
@@ -115,3 +124,5 @@ class SamplingParams:
             for s in self.stop:
                 if not isinstance(s, str) or not s:
                     raise ValueError(f"stop strings must be non-empty str, got {s!r}")
+        if self.logprobs is not None and not (0 <= self.logprobs <= 8):
+            raise ValueError(f"logprobs must be in [0, 8], got {self.logprobs}")

@@ -42,6 +42,11 @@ class SequenceOutput:
     num_completion_tokens: int
     status: SequenceStatus
     finish_reason: Optional[str] = None
+    # When SamplingParams.logprobs was requested: log p(token) under the
+    # model's raw distribution, one per completion token; top_logprobs is
+    # a parallel list of [(token_id, logprob), ...] rows (top-N).
+    logprobs: Optional[List[float]] = None
+    top_logprobs: Optional[list] = None
 
 
 _seq_counter = itertools.count()
@@ -94,6 +99,10 @@ class Sequence:
         # text where the output truncates (the match start — the stop
         # string itself is excluded, OpenAI-style).
         self.stop_text_end: Optional[int] = None
+        # Per-completion-token logprobs (attached by the engine when
+        # SamplingParams.logprobs is set; truncated like the tokens).
+        self.completion_logprobs: Optional[list] = None
+        self.completion_top_logprobs: Optional[list] = None
 
     # ------------------------------------------------------------------
     # Token bookkeeping
@@ -185,6 +194,14 @@ class Sequence:
             num_completion_tokens=self.num_completion_tokens,
             status=self.status,
             finish_reason=self.finish_reason,
+            logprobs=(
+                list(self.completion_logprobs[: self.num_completion_tokens])
+                if self.completion_logprobs is not None else None
+            ),
+            top_logprobs=(
+                list(self.completion_top_logprobs[: self.num_completion_tokens])
+                if self.completion_top_logprobs is not None else None
+            ),
         )
 
     def __repr__(self) -> str:

@@ -21,17 +21,25 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from nanovllm_tpu.ops.sampling import SamplingState, append_to_ring, sample_logits
+from nanovllm_tpu.ops.sampling import (
+    SamplingState,
+    append_to_ring,
+    sample_logits,
+    token_logprobs,
+)
 from nanovllm_tpu.utils.metadata import AttentionMetadata
 
 
 def build_prefill_step(
-    cfg, forward_fn: Callable, flags: dict, attn_impl: str = "ref", mesh=None
+    cfg, forward_fn: Callable, flags: dict, attn_impl: str = "ref", mesh=None,
+    logprobs_n: int = -1,
 ) -> Callable:
     """Fused forward + sample for a prefill batch (one token per sequence).
 
     Returns fn(params, kc, vc, tokens, meta, samp: SamplingState, key)
-            -> (tokens [S], kc, vc)
+            -> (tokens [S], extras, kc, vc)
+    extras is None, or (chosen_lp [S], top_vals [S, n], top_ids [S, n])
+    when logprobs_n >= 0.
     """
 
     def fn(params, k_cache, v_cache, tokens, meta, samp: SamplingState, key):
@@ -40,7 +48,10 @@ def build_prefill_step(
             mesh=mesh,
         )
         toks = sample_logits(logits, key, samp, **flags)
-        return toks, k_cache, v_cache
+        extras = (
+            token_logprobs(logits, toks, logprobs_n) if logprobs_n >= 0 else None
+        )
+        return toks, extras, k_cache, v_cache
 
     return jax.jit(fn, donate_argnums=(1, 2))
 
@@ -54,12 +65,16 @@ def build_decode_window(
     attn_impl: str = "ref",
     mesh=None,
     window_commit: bool = True,
+    logprobs_n: int = -1,
 ) -> Callable:
     """K self-feeding decode substeps in one jit.
 
     Returns fn(params, kc, vc, last_tokens [S], block_tables [S, M],
                context_lens [S], samp: SamplingState, key)
-            -> (tokens [K, S], kc, vc)
+            -> (tokens [K, S], extras, kc, vc)
+    extras is None, or (chosen_lp [K, S], top_vals [K, S, n],
+    top_ids [K, S, n]) when logprobs_n >= 0 (raw-distribution logprobs of
+    each substep's sampled token).
 
     context_lens[i] = len(seq i) at dispatch (so substep 0 writes KV at
     position len-1 and samples token index len, matching the single-step
@@ -137,14 +152,18 @@ def build_decode_window(
             if track_history:
                 state = append_to_ring(state, newtok, valid)
             ctx = jnp.where(valid, ctx + 1, ctx)
+            ys = (
+                (newtok,) + token_logprobs(logits, newtok, logprobs_n)
+                if logprobs_n >= 0 else newtok
+            )
             if window_mode:
-                return (k_cache, v_cache, newtok, ctx, state, k_win, v_win), newtok
-            return (k_cache, v_cache, newtok, ctx, state), newtok
+                return (k_cache, v_cache, newtok, ctx, state, k_win, v_win), ys
+            return (k_cache, v_cache, newtok, ctx, state), ys
 
         if window_mode:
             init = (k_cache, v_cache, last_tokens, context_lens, samp,
                     k_win0, v_win0)
-            (k_cache, v_cache, _, _, _, k_win, v_win), toks_seq = jax.lax.scan(
+            (k_cache, v_cache, _, _, _, k_win, v_win), ys_seq = jax.lax.scan(
                 substep, init, jnp.arange(num_steps, dtype=jnp.int32)
             )
             # One span commit per layer for the whole window.
@@ -177,9 +196,12 @@ def build_decode_window(
             )
         else:
             init = (k_cache, v_cache, last_tokens, context_lens, samp)
-            (k_cache, v_cache, *_), toks_seq = jax.lax.scan(
+            (k_cache, v_cache, *_), ys_seq = jax.lax.scan(
                 substep, init, jnp.arange(num_steps, dtype=jnp.int32)
             )
-        return toks_seq, k_cache, v_cache
+        if logprobs_n >= 0:
+            toks_seq, lp, tv, ti = ys_seq
+            return toks_seq, (lp, tv, ti), k_cache, v_cache
+        return ys_seq, None, k_cache, v_cache
 
     return jax.jit(fn, donate_argnums=(1, 2))

@@ -158,6 +158,19 @@ def sample_logits(
     return jnp.where(state.temps == 0.0, greedy_tok, sampled_tok)
 
 
+def token_logprobs(logits: jax.Array, tokens: jax.Array, top_n: int):
+    """Per-row logprob of `tokens` under the model's RAW distribution
+    (log_softmax of the unprocessed logits — OpenAI semantics), plus the
+    top-max(1, top_n) (values, ids). logits [S, V], tokens [S] ->
+    (chosen [S] f32, top_vals [S, n] f32, top_ids [S, n] i32). Traceable."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    chosen = jnp.take_along_axis(
+        lp, tokens.astype(jnp.int32)[:, None], axis=1
+    )[:, 0]
+    tv, ti = jax.lax.top_k(lp, max(1, top_n))
+    return chosen, tv, ti.astype(jnp.int32)
+
+
 sample = jax.jit(
     sample_logits,
     static_argnames=(

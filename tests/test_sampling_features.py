@@ -237,3 +237,73 @@ def test_freq_presence_engine_smoke(model_dir):
                        presence_penalty=0.5, ignore_eos=True),
     )
     assert outs[0].num_completion_tokens == 8
+
+
+# ---------------------------------------------------------------------------
+# Logprobs (OpenAI-style: raw-distribution log_softmax, per completion token)
+# ---------------------------------------------------------------------------
+def test_logprobs_greedy_matches_top1(model_dir):
+    """Greedy sampling picks the argmax of the raw logits, so the chosen
+    logprob must equal the top-1 row's value and id for every token."""
+    eng = mkengine(model_dir, async_scheduling=True, pipeline_depth=2, decode_window=4)
+    p = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True, logprobs=3)
+    out = eng.generate(["logprob greedy"], p)[0]
+    assert out.logprobs is not None and out.top_logprobs is not None
+    assert len(out.logprobs) == len(out.completion_token_ids) == 10
+    assert len(out.top_logprobs) == 10
+    for tok, lp, top in zip(out.completion_token_ids, out.logprobs, out.top_logprobs):
+        assert len(top) == 3
+        top_ids = [t for t, _ in top]
+        top_vals = [v for _, v in top]
+        assert top_vals == sorted(top_vals, reverse=True)
+        assert top_ids[0] == tok, "greedy token must be the raw-dist argmax"
+        assert abs(top_vals[0] - lp) < 1e-5
+        assert all(v <= 1e-6 for v in top_vals), "logprobs must be <= 0"
+
+
+def test_logprobs_zero_n_and_mixed_batch(model_dir):
+    """logprobs=0 returns chosen-only (empty top rows); a neighbor without
+    logprobs in the same batch gets none attached."""
+    eng = mkengine(model_dir)
+    s_with = eng.add_request(
+        "lp zero", SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True, logprobs=0))
+    s_without = eng.add_request(
+        "no lp", SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True))
+    while eng.has_unfinished():
+        eng.step()
+    o1, o2 = s_with.create_output(""), s_without.create_output("")
+    assert o1.logprobs is not None and len(o1.logprobs) == 6
+    assert all(row == [] for row in o1.top_logprobs)
+    assert o2.logprobs is None and o2.top_logprobs is None
+
+
+def test_logprobs_sampled_token_consistency(model_dir):
+    """With top-k sampling the token is always drawn from the raw top-k
+    (temperature scaling is monotonic), so the chosen logprob must match the
+    matching top-N row's value for EVERY token."""
+    eng = mkengine(model_dir)
+    p = SamplingParams(temperature=1.0, top_k=8, max_tokens=12,
+                       ignore_eos=True, seed=5, logprobs=8)
+    out = eng.generate(["sampled lp"], p)[0]
+    for tok, lp, top in zip(out.completion_token_ids, out.logprobs, out.top_logprobs):
+        d = dict(top)
+        assert tok in d, "top_k=8 sample must be inside the raw top-8"
+        assert abs(d[tok] - lp) < 1e-5
+
+
+def test_logprobs_do_not_change_tokens(model_dir):
+    """Requesting logprobs must not perturb sampling (same tokens with and
+    without)."""
+    p0 = SamplingParams(temperature=0.8, max_tokens=10, ignore_eos=True, seed=9)
+    a = mkengine(model_dir).generate(["identical run"], p0)[0]
+    b = mkengine(model_dir).generate(["identical run"], p0.with_logprobs(4))[0]
+    assert a.completion_token_ids == b.completion_token_ids
+    assert b.logprobs is not None
+
+
+def test_logprobs_validation():
+    with pytest.raises(ValueError):
+        SamplingParams(logprobs=9).validate()
+    with pytest.raises(ValueError):
+        SamplingParams(logprobs=-1).validate()
+    SamplingParams(logprobs=8).validate()
