@@ -41,8 +41,15 @@ def build_prefill_step(
     extras is None, or (chosen_lp [S], top_vals [S, n], top_ids [S, n])
     when logprobs_n >= 0.
     """
+    greedy_fused = _greedy_fused(flags, logprobs_n)
 
     def fn(params, k_cache, v_cache, tokens, meta, samp: SamplingState, key):
+        if greedy_fused:
+            toks, k_cache, v_cache = forward_fn(
+                cfg, params, k_cache, v_cache, tokens, meta,
+                attn_impl=attn_impl, mesh=mesh, head_mode="greedy",
+            )
+            return toks, None, k_cache, v_cache
         logits, k_cache, v_cache = forward_fn(
             cfg, params, k_cache, v_cache, tokens, meta, attn_impl=attn_impl,
             mesh=mesh,
@@ -54,6 +61,19 @@ def build_prefill_step(
         return toks, extras, k_cache, v_cache
 
     return jax.jit(fn, donate_argnums=(1, 2))
+
+
+def _greedy_fused(flags: dict, logprobs_n: int) -> bool:
+    """A batch can take the fused lm_head+argmax path (the [S, V] logits
+    never materialize) iff every row is greedy and nothing downstream reads
+    the logits: no Gumbel draw, no logit-mutating penalties, no logprobs.
+    Seed/history tracking is compatible (it consumes tokens, not logits)."""
+    return (
+        not flags.get("use_random", True)
+        and not flags.get("use_penalty", False)
+        and not flags.get("use_freq_pres", False)
+        and logprobs_n < 0
+    )
 
 
 def build_decode_window(
@@ -84,6 +104,7 @@ def build_decode_window(
     track_history = any(
         flags.get(f) for f in ("use_penalty", "use_freq_pres", "use_seeds")
     )
+    greedy_fused = _greedy_fused(flags, logprobs_n)
     # Window-commit mode (pallas decode): KV rows stage in a
     # [L, S, Hkv, K, Dh] buffer across the window; attention merges the
     # history kernel with XLA attention over the staged rows; the cache is
@@ -125,12 +146,14 @@ def build_decode_window(
                 q_gather=rows[:, None],
                 q_positions=jnp.where(valid, ctx - 1, -1)[:, None],
             )
+            head_mode = "greedy" if greedy_fused else "logits"
             if window_mode:
                 logits, k_cache, v_cache, (k_rows, v_rows) = forward_fn(
                     cfg, params, k_cache, v_cache, toks, meta,
                     attn_impl=attn_impl, mesh=mesh,
                     window=dict(k_win=k_win, v_win=v_win, substep=k_idx,
                                 start_lens=start_lens),
+                    head_mode=head_mode,
                 )
                 # Stage this substep's rows (all layers at once) at slot j.
                 k_win = jax.lax.dynamic_update_slice(
@@ -144,11 +167,14 @@ def build_decode_window(
             else:
                 logits, k_cache, v_cache = forward_fn(
                     cfg, params, k_cache, v_cache, toks, meta,
-                    attn_impl=attn_impl, mesh=mesh,
+                    attn_impl=attn_impl, mesh=mesh, head_mode=head_mode,
                 )
-            newtok = sample_logits(
-                logits, jax.random.fold_in(key, k_idx), state, **flags
-            )
+            if greedy_fused:
+                newtok = logits  # forward returned [S] token ids directly
+            else:
+                newtok = sample_logits(
+                    logits, jax.random.fold_in(key, k_idx), state, **flags
+                )
             if track_history:
                 state = append_to_ring(state, newtok, valid)
             ctx = jnp.where(valid, ctx + 1, ctx)

@@ -288,6 +288,7 @@ def forward(
     all_logits: bool = False,
     mesh=None,
     window=None,
+    head_mode: str = "logits",
 ) -> tuple:
     """One model step over a flat token batch (prefill and decode unified).
 
@@ -306,11 +307,17 @@ def forward(
     Attention splits into a history kernel over the committed cache plus
     XLA attention over the window's own rows, flash-merged; no per-substep
     cache commit happens (the caller span-commits once per window via
-    kv_window_commit). Returns (logits, kc, vc, (k_win, v_win))."""
+    kv_window_commit). Returns (logits, kc, vc, (k_win, v_win)).
+
+    head_mode (static): "logits" returns fp32 logits; "greedy" returns the
+    argmax token ids [S] instead — the fused lm_head+argmax path for
+    all-greedy batches (the logits never materialize in HBM)."""
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     scale = Dh ** -0.5
 
-    from nanovllm_tpu.ops.quant import embedding_lookup, lm_head_logits
+    from nanovllm_tpu.ops.quant import (
+        embedding_lookup, greedy_head, lm_head_logits,
+    )
 
     h = embedding_lookup(params["embedding"], token_ids)  # [T, D]
 
@@ -488,10 +495,13 @@ def forward(
     # harness), at every token. bf16 matmul with fp32 accumulation.
     x = h if all_logits else h[meta.logits_idx]  # [T or S, D]
     lm_w = params["embedding"] if cfg.tie_word_embeddings else params["lm_head"]
-    logits = lm_head_logits(x, lm_w)
+    if head_mode == "greedy":
+        out = greedy_head(x, lm_w, mesh=mesh)  # [S] token ids, no HBM logits
+    else:
+        out = lm_head_logits(x, lm_w)
     if window is not None:
-        return logits, k_cache, v_cache, ys  # ([L,S,Hkv,Dh], [L,S,Hkv,Dh])
-    return logits, k_cache, v_cache
+        return out, k_cache, v_cache, ys  # ([L,S,Hkv,Dh], [L,S,Hkv,Dh])
+    return out, k_cache, v_cache
 
 
 def load_weights(cfg: Qwen3Config, model_dir: str, dtype=jnp.bfloat16) -> dict:

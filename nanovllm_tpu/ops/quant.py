@@ -289,6 +289,26 @@ def lm_head_logits(x: jax.Array, lm_w) -> jax.Array:
     return jnp.dot(x, lm_w.T, preferred_element_type=jnp.float32)
 
 
+def greedy_head(x: jax.Array, lm_w, mesh=None) -> jax.Array:
+    """argmax token per row of the lm_head — greedy decode never needs the
+    logits themselves (reference: sampler.rs:109-112 argmaxes the logits
+    embed_head.rs produced). Single-chip TPU takes the fused Pallas kernel
+    that streams the [V, D] weight tile-by-tile and keeps only a running
+    (best, index) pair per row, so the [S, V] logits never exist in HBM —
+    the largest single HBM write+read of a greedy decode substep vanishes.
+    Under a mesh the vocab-sharded matmul + argmax stays with XLA (the
+    logits are shard-local and the collective is one small argmax)."""
+    if jax.default_backend() == "tpu" and mesh is None:
+        from nanovllm_tpu.ops.pallas.lm_head import fused_greedy_head
+
+        if isinstance(lm_w, QuantizedEmbedding):
+            if lm_w.data.shape[1] % 128 == 0:
+                return fused_greedy_head(x, lm_w.data, lm_w.scale)
+        elif lm_w.shape[1] % 128 == 0:
+            return fused_greedy_head(x, lm_w)
+    return jnp.argmax(lm_head_logits(x, lm_w), axis=-1).astype(jnp.int32)
+
+
 # Which leaves of the layer-stacked params get quantized: the four big
 # matmuls. Norms stay bf16 (tiny). The embedding/lm_head is quantized to
 # INT8 per vocab row regardless of the layer method (the head is the
