@@ -561,7 +561,15 @@ class LLMEngine:
         sampling params) plus the engine config to a JSON file. Device
         state (KV caches) is NOT saved: `load_state` recovers it via
         re-prefill through the prefix cache — the same state machine used
-        for preemption. Returns the number of requests saved."""
+        for preemption. Returns the number of requests saved.
+
+        Reproducibility across restart: seeded requests resume exactly —
+        their sampling key is fold_in(PRNGKey(seed), num_completion_tokens)
+        and the completion length is snapshotted. UNSEEDED requests draw
+        from the new engine's global key stream after restart, so their
+        continuation differs from what the old engine would have produced
+        (same contract as preemption-free serving restarts in vLLM); pass
+        `seed` in SamplingParams when bit-exact resume matters."""
         import dataclasses
         import json
 
