@@ -44,9 +44,15 @@ def bench_shapes(tag, shapes, S, layers):
     gmid = shapes[3][0]
 
     for name, qs, mm in (
+        ("bf16", [jnp.asarray(w, jnp.bfloat16) for w in ws],
+         lambda x, w: jnp.dot(x, w, preferred_element_type=x.dtype)),
         ("xla8", [quantize(jnp.asarray(w), 8, group_size=-1) for w in ws],
          lambda x, qt: jnp.dot(x, dequantize(qt, x.dtype),
                                preferred_element_type=x.dtype)),
+        ("out8", [quantize(jnp.asarray(w), 8, group_size=-1) for w in ws],
+         lambda x, qt: (jnp.dot(x, qt.data.astype(x.dtype),
+                                preferred_element_type=jnp.float32)
+                        * qt.scale[0]).astype(x.dtype)),
         ("fus8", [quantize(jnp.asarray(w), 8, group_size=-1) for w in ws],
          lambda x, qt: fused_quant_matmul(x, qt)),
         ("fus4", [quantize(jnp.asarray(w), 4) for w in ws],
@@ -55,8 +61,10 @@ def bench_shapes(tag, shapes, S, layers):
          lambda x, qt: jnp.dot(x, pallas_dequantize(qt, x.dtype),
                                preferred_element_type=x.dtype)),
     ):
-        assert all(fusable(jnp.zeros((S, q.in_dim), jnp.bfloat16), q) for q in qs) \
-            or name == "xla8", name
+        if name not in ("bf16", "xla8", "out8"):
+            assert all(
+                fusable(jnp.zeros((S, q.in_dim), jnp.bfloat16), q) for q in qs
+            ), name
 
         def one(h, qs=qs, mm=mm):
             y1 = mm(h, qs[0])

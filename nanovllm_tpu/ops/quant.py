@@ -204,6 +204,18 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, mesh=None,
         from nanovllm_tpu.ops.pallas.sharded import sharded_quant_matmul
 
         return sharded_quant_matmul(mesh, x, qt, tp)
+    if qt.bits == 8 and qt.scale.shape[-2] == 1:
+        # Per-channel scales factor OUT of the contraction entirely:
+        # sum_i x_i * (q_ij * s_j) == s_j * sum_i x_i * q_ij. Dot the raw
+        # int8 values (XLA converts in the MXU feed) and scale the [T, out]
+        # OUTPUT — O(T*out) epilogue VPU work instead of an O(in*out)
+        # dequant multiply on the weight-feed path. f32 accumulate + post-
+        # sum scaling is also the more accurate rounding order. Exact under
+        # TP either way: column shards the out dim (scale shards with it),
+        # row psums partial sums (the per-out scale commutes with psum).
+        acc = jnp.dot(x, qt.data.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        return (acc * qt.scale[..., 0, :]).astype(x.dtype)
     w = dequantize(qt, x.dtype)
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 
@@ -298,7 +310,13 @@ def greedy_head(x: jax.Array, lm_w, mesh=None) -> jax.Array:
     the largest single HBM write+read of a greedy decode substep vanishes.
     Under a mesh the vocab-sharded matmul + argmax stays with XLA (the
     logits are shard-local and the collective is one small argmax)."""
-    if jax.default_backend() == "tpu" and mesh is None:
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and mesh is None
+        and not os.environ.get("NANOVLLM_DISABLE_FUSED_LMHEAD")
+    ):
         from nanovllm_tpu.ops.pallas.lm_head import fused_greedy_head
 
         if isinstance(lm_w, QuantizedEmbedding):
