@@ -107,10 +107,16 @@ def run_once(engine, prompts, params):
     seqs = [engine.add_request(p, params) for p in prompts]
     start = time.perf_counter()
     prefill_done = None
+    tokens_at_prefill_done = 0
     while not engine.is_finished():
         engine.step()
         if prefill_done is None and all(s.num_completion_tokens >= 1 for s in seqs):
             prefill_done = time.perf_counter()
+            # Tokens produced so far (first tokens + any decode that ran
+            # while later waves were still prefilling) belong to the
+            # prefill window — excluding them keeps decode_tok_s a pure
+            # post-prefill rate rather than a wave-overlap-flattered one.
+            tokens_at_prefill_done = sum(s.num_completion_tokens for s in seqs)
     end = time.perf_counter()
     assert all(s.status == SequenceStatus.FINISHED for s in seqs)
     total_new = sum(s.num_completion_tokens for s in seqs)
@@ -127,7 +133,7 @@ def run_once(engine, prompts, params):
     )
     n = len(ttfts)
     m = len(adm_ttfts)
-    decode_tokens = total_new - len(seqs)
+    decode_tokens = total_new - max(tokens_at_prefill_done, len(seqs))
     decode_time = (end - (prefill_done or end)) or 1e-9
     return {
         "total_tok_s": round(total_new / (end - start), 1),
