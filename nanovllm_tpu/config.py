@@ -66,6 +66,17 @@ class Config:
     # whole blocks) and OFF for bf16 caches (9.5k vs 6.4k the other way —
     # bf16 staging traffic outweighs the commit savings). True/False force.
     window_commit: object = "auto"
+    # Shared-prefix (cascade) decode attention: when scheduled sequences
+    # share a committed block-table prefix (prefix-cache hits — e.g. a
+    # common system prompt), attend the shared span ONCE for the whole
+    # group with their queries batched into a single M = members*G dot per
+    # block, instead of per-sequence M=G dots — the measured decode wall
+    # is exactly that per-sequence MXU weight-load rate
+    # (docs/performance.md). "auto" enables it in window-commit mode when
+    # the saved per-seq block visits exceed a launch-overhead threshold;
+    # True/False force. Purely an execution strategy: outputs are
+    # identical (tests/test_shared_prefix.py).
+    shared_prefix_attention: object = "auto"
     # With quantization on, also quantize the embedding/lm_head to INT8
     # per-vocab-row (the head stays 8-bit even under int4 layer weights).
     # At decode batch sizes the logits matmul is the single largest HBM
@@ -157,6 +168,11 @@ class Config:
             raise ValueError(f"decode_window must be >= 1, got {self.decode_window}")
         if self.pipeline_depth < 1:
             raise ValueError(f"pipeline_depth must be >= 1, got {self.pipeline_depth}")
+        if self.shared_prefix_attention not in ("auto", True, False):
+            raise ValueError(
+                "shared_prefix_attention must be 'auto', True, or False, "
+                f"got {self.shared_prefix_attention!r}"
+            )
         if self.window_commit not in ("auto", True, False):
             raise ValueError(
                 f"window_commit must be 'auto', True, or False, got {self.window_commit!r}"

@@ -491,6 +491,72 @@ class ModelRunner:
             row_of={s.seq_id: i for i, s in enumerate(seqs)},
         )
 
+    def _shared_prefix_plan(self, seqs: List[Sequence], S: int, MAXBLK: int):
+        """Detect the best shared-prefix group for this decode window.
+
+        Sequences whose block tables start with the same committed blocks
+        (prefix-cache hits: chained-hash dedup gives them literally the
+        same block ids, reference block_manager.rs:157-219) form a group;
+        the shared span is attended once for the whole group with a
+        single M = members*G dot per block (shared_prefix_partial) instead
+        of per-sequence M=G dots — the measured decode wall
+        (docs/performance.md). Returns (use, shared_tables, nshared,
+        skip_blocks, max_rem); purely an execution strategy, outputs are
+        identical either way (tests/test_shared_prefix.py)."""
+        mode = self.config.shared_prefix_attention
+        window_mode = self.attn_impl == "pallas_decode" and self.window_commit
+        if mode is False or not window_mode:
+            return False, None, None, None, None
+        groups: Dict[int, List[int]] = {}
+        for i, s in enumerate(seqs):
+            if s.block_table:
+                groups.setdefault(s.block_table[0], []).append(i)
+        best, best_lcp, best_saved = None, 0, 0
+        for idx in groups.values():
+            if len(idx) < 2:
+                continue
+            # The shared span must be FULL committed blocks for every
+            # member (prefix-cache hits only ever share full blocks; block
+            # tables also hold blocks reserved for the window): cap the
+            # common-prefix walk at the smallest floor(start / block_size),
+            # start being the committed history length at this window.
+            cap = min(
+                min(len(seqs[i].block_table) for i in idx),
+                min(
+                    (seqs[i].total_len() - 1) // self.block_size
+                    for i in idx
+                ),
+            )
+            first = seqs[idx[0]].block_table
+            lcp = 0
+            while lcp < cap and all(
+                seqs[i].block_table[lcp] == first[lcp] for i in idx[1:]
+            ):
+                lcp += 1
+            saved = (len(idx) - 1) * lcp
+            if saved > best_saved:
+                best, best_lcp, best_saved = idx, lcp, saved
+        # auto: the shared pass costs one extra kernel launch + a small
+        # fixed per-block overhead per layer; require enough saved
+        # per-sequence block visits to clear it. Measured on v5e
+        # (experiments/shared_prefix_probe.py): 31 saved visits is
+        # breakeven (0.96x), 124+ wins 1.4-2.1x.
+        threshold = 1 if mode is True else 64
+        if best is None or best_lcp == 0 or best_saved < threshold:
+            return False, None, None, None, None
+        MSHB = _next_pow2(best_lcp)
+        shared_tables = np.zeros((MSHB,), np.int32)
+        shared_tables[:best_lcp] = seqs[best[0]].block_table[:best_lcp]
+        skip = np.zeros((S,), np.int32)
+        for i in best:
+            skip[i] = best_lcp
+        rem = 1
+        for i, s in enumerate(seqs):
+            nb = -(-(s.total_len() - 1) // self.block_size)
+            rem = max(rem, nb - int(skip[i]))
+        max_rem = min(_next_pow2(rem), MAXBLK)
+        return True, shared_tables, np.int32(best_lcp), skip, int(max_rem)
+
     def _dispatch_decode_window(
         self, seqs: List[Sequence], key, prev: List[DispatchHandle]
     ) -> DispatchHandle:
@@ -506,14 +572,21 @@ class ModelRunner:
             MAXBLK = _next_pow2(max(len(s.block_table) for s in seqs))
         samp, flags = self._sampling_arrays(seqs, S)
         lp_n = self._logprobs_n(seqs)
-        fk = (K, tuple(sorted(flags.items())), lp_n)
+        use_shared, shared_tables, nshared, skip, max_rem = (
+            self._shared_prefix_plan(seqs, S, MAXBLK)
+        )
+        fk = (K, tuple(sorted(flags.items())), lp_n, use_shared)
         if fk not in self._decode_fns:
             self._decode_fns[fk] = build_decode_window(
                 self.model_config, self.family.forward, self.block_size, K, flags,
                 attn_impl=self.attn_impl, mesh=self.mesh,
                 window_commit=self.window_commit, logprobs_n=lp_n,
+                use_shared=use_shared,
             )
-        self._note_shape(("decode", fk, S, MAXBLK, samp.buf.shape[1]))
+        self._note_shape(
+            ("decode", fk, S, MAXBLK, samp.buf.shape[1])
+            + ((shared_tables.shape[0], max_rem) if use_shared else ())
+        )
 
         host_last = np.zeros((S,), np.int32)
         block_tables = np.full((S, MAXBLK), -1, np.int32)
@@ -553,6 +626,11 @@ class ModelRunner:
                         gen_counts=gen_counts,
                     )
 
+        extra = (
+            dict(shared_tables=shared_tables, shared_nblocks=nshared,
+                 skip_blocks=skip, max_rem=max_rem)
+            if use_shared else {}
+        )
         toks, lp_dev, self.k_cache, self.v_cache = self._decode_fns[fk](
             self.params,
             self.k_cache,
@@ -562,6 +640,7 @@ class ModelRunner:
             context_lens,
             samp,
             key,
+            **extra,
         )
         return DispatchHandle(
             seqs=seqs, is_prefill=False, k=K, tokens_dev=toks, lp_dev=lp_dev,

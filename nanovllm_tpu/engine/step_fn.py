@@ -86,6 +86,7 @@ def build_decode_window(
     mesh=None,
     window_commit: bool = True,
     logprobs_n: int = -1,
+    use_shared: bool = False,
 ) -> Callable:
     """K self-feeding decode substeps in one jit.
 
@@ -100,6 +101,11 @@ def build_decode_window(
     position len-1 and samples token index len, matching the single-step
     append protocol). Padded rows have context_lens == 0; their slots are -1
     (dropped) and their sampled tokens are garbage the host ignores.
+
+    use_shared: shared-prefix attention — fn takes three extra positional
+    args (shared_tables [MSHB], shared_nblocks scalar, skip_blocks [S]) and
+    a static keyword max_rem; the window kernels attend the shared span
+    once for the whole member group (window-commit mode only).
     """
     track_history = any(
         flags.get(f) for f in ("use_penalty", "use_freq_pres", "use_seeds")
@@ -112,7 +118,9 @@ def build_decode_window(
     # than per-substep row RMWs).
     window_mode = attn_impl == "pallas_decode" and window_commit
 
-    def fn(params, k_cache, v_cache, last_tokens, block_tables, context_lens, samp, key):
+    def fn(params, k_cache, v_cache, last_tokens, block_tables, context_lens,
+           samp, key, shared_tables=None, shared_nblocks=None,
+           skip_blocks=None, max_rem=None):
         S, M = block_tables.shape
         rows = jnp.arange(S, dtype=jnp.int32)
         start_lens = jnp.maximum(context_lens - 1, 0)
@@ -148,11 +156,16 @@ def build_decode_window(
             )
             head_mode = "greedy" if greedy_fused else "logits"
             if window_mode:
+                win = dict(k_win=k_win, v_win=v_win, substep=k_idx,
+                           start_lens=start_lens)
+                if use_shared:
+                    win.update(shared_tables=shared_tables,
+                               shared_nblocks=shared_nblocks,
+                               skip_blocks=skip_blocks, max_rem=max_rem)
                 logits, k_cache, v_cache, (k_rows, v_rows) = forward_fn(
                     cfg, params, k_cache, v_cache, toks, meta,
                     attn_impl=attn_impl, mesh=mesh,
-                    window=dict(k_win=k_win, v_win=v_win, substep=k_idx,
-                                start_lens=start_lens),
+                    window=win,
                     head_mode=head_mode,
                 )
                 # Stage this substep's rows (all layers at once) at slot j.
@@ -230,4 +243,4 @@ def build_decode_window(
             return toks_seq, (lp, tv, ti), k_cache, v_cache
         return ys_seq, None, k_cache, v_cache
 
-    return jax.jit(fn, donate_argnums=(1, 2))
+    return jax.jit(fn, donate_argnums=(1, 2), static_argnames=("max_rem",))

@@ -358,25 +358,49 @@ def forward(
             # on v5e, DMA-issue-bound). This layer's rows leave through the
             # scan ys; the staging buffer updates once per substep.
             interp = jax.default_backend() != "tpu"
+            shared = window.get("shared_tables") is not None
             if mesh is not None:
                 from nanovllm_tpu.ops.pallas.sharded import (
                     sharded_paged_attention_window,
+                    sharded_shared_prefix_partial,
                 )
 
+                init = skip = None
+                if shared:
+                    # Shared-prefix pass: attend the common block span once
+                    # with the whole group's queries (M = members*G per
+                    # dot), then seed the per-seq kernel from its state.
+                    init = sharded_shared_prefix_partial(
+                        mesh, q, kc, vc, layer_idx, window["shared_tables"],
+                        window["shared_nblocks"], scale=scale,
+                        interpret=interp,
+                    )
+                    skip = window["skip_blocks"]
                 attn = sharded_paged_attention_window(
                     mesh, q, k, v, window["k_win"], window["v_win"], kc, vc,
                     layer_idx, meta.block_tables, window["start_lens"],
-                    window["substep"], scale=scale, interpret=interp,
+                    window["substep"], skip, init, scale=scale,
+                    max_rem=window.get("max_rem"), interpret=interp,
                 )
             else:
                 from nanovllm_tpu.ops.pallas.paged_attention import (
                     paged_attention_window,
+                    shared_prefix_partial,
                 )
 
+                init = skip = None
+                if shared:
+                    init = shared_prefix_partial(
+                        q, kc, vc, layer_idx, window["shared_tables"],
+                        window["shared_nblocks"], scale=scale,
+                        interpret=interp,
+                    )
+                    skip = window["skip_blocks"]
                 attn = paged_attention_window(
                     q, k, v, window["k_win"], window["v_win"], kc, vc,
                     layer_idx, meta.block_tables, window["start_lens"],
-                    window["substep"], scale=scale, interpret=interp,
+                    window["substep"], skip, init, scale=scale,
+                    max_rem=window.get("max_rem"), interpret=interp,
                 )
         elif attn_impl == "pallas_decode":
             # Attention reads the caches + an in-VMEM patch of this step's

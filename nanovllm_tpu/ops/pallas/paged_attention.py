@@ -848,6 +848,173 @@ def paged_attention_decode_partial(
     return acc, m[:, 0], l[:, 0]
 
 
+def _make_shared_prefix_kernel(*, quantized, kv_heads, rows, head_dim,
+                               compute_dtype):
+    """Flash-attend EVERY sequence's queries to one common block list.
+
+    Shared-prefix (cascade) decode attention: when sequences share a
+    committed block-table prefix (prefix-cache hits — chained-hash dedup,
+    reference block_manager.rs:157-219), the per-seq window kernel streams
+    each shared KV block through the MXU once PER SEQUENCE with only
+    G(=Hq/Hkv, 2 for Qwen3) query rows — the measured decode wall is
+    exactly this M=2 weight-load rate (docs/performance.md). Here the
+    shared span is attended ONCE with all sequences' queries batched into
+    a single M = S*G dot per block: S-fold fewer MXU weight loads and
+    S-fold fewer KV block fetches over the shared span. Emits raw flash
+    state (acc, m, l) that seeds the per-seq window kernel via its
+    skip/init operands."""
+    def kernel(*refs):
+        if quantized:
+            (layer_ref, tables_ref, nsh_ref, q_ref, k_ref, v_ref,
+             ks_ref, vs_ref, acc_ref, m_ref, l_ref,
+             m_scr, l_scr, acc_scr) = refs
+        else:
+            (layer_ref, tables_ref, nsh_ref, q_ref, k_ref, v_ref,
+             acc_ref, m_ref, l_ref, m_scr, l_scr, acc_scr) = refs
+        it = pl.program_id(0)
+        last_it = pl.num_programs(0) - 1
+        nsh = nsh_ref[0]
+
+        @pl.when(it == 0)
+        def _():
+            m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        @pl.when(it < nsh)
+        def _():
+            k = k_ref[0, 0]
+            v = v_ref[0, 0]
+            if quantized:
+                k = k.astype(compute_dtype)
+                v = v.astype(compute_dtype)
+                ksc, vsc = ks_ref[0, 0], vs_ref[0, 0]
+            else:
+                ksc = vsc = None
+            # Every row of every shared block is committed KV strictly
+            # before each member's window start, so no position masking:
+            # klimit = +inf, no patch row.
+            _window_flash_block(
+                q_ref[...], k, v, ksc, vsc, 0, jnp.int32(2 ** 30), None,
+                None, -1, m_scr, l_scr, acc_scr,
+                compute_dtype=compute_dtype, kv_heads=kv_heads, groups=rows,
+                head_dim=head_dim,
+            )
+
+        @pl.when(it == last_it)
+        def _():
+            acc_ref[...] = acc_scr[...]
+            m_ref[...] = m_scr[..., 0]
+            l_ref[...] = l_scr[..., 0]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def shared_prefix_partial(
+    q: jax.Array,              # [S, Hq, Dh]
+    k_cache,                   # array or (data, scale) tuple
+    v_cache,
+    layer_idx: jax.Array,
+    shared_tables: jax.Array,  # [MSHB] int32 — the common block-id prefix
+    shared_nblocks: jax.Array, # scalar int32 — valid entries in shared_tables
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> tuple:
+    """Partial flash attention of ALL sequences over one shared block list.
+
+    Returns raw flash state in the window kernel's init layout:
+    (acc [S, Hkv, G, Dh] f32 unnormalized, m [S, Hkv, G], l [S, Hkv, G]).
+    The caller feeds these to `paged_attention_window(skip_blocks=...,
+    init=...)`; non-member rows are ignored there (skip == 0 resets to the
+    identity state), so this kernel wastes no masking on them."""
+    k_scales = v_scales = None
+    if isinstance(k_cache, tuple):
+        k_cache, k_scales = k_cache
+        v_cache, v_scales = v_cache
+    S, Hq, Dh = q.shape
+    L, NB, Hkv, BS, _ = k_cache.shape
+    G = Hq // Hkv
+    rows = S * G
+    MSHB = shared_tables.shape[0]
+    tables = jnp.clip(shared_tables, 0, NB - 1)
+    compute_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+    # One M = S*G dot per (kv head, block): q heads are [Hkv, G] row-major,
+    # so [S, Hkv, G, Dh] -> [Hkv, S*G, Dh] keeps (seq, group) contiguous.
+    qf = (
+        q.reshape(S, Hkv, G, Dh).transpose(1, 0, 2, 3).reshape(Hkv, rows, Dh)
+        .astype(jnp.float32) * scale
+    ).astype(compute_dtype)
+
+    def kv_index(it, layer_ref, tables_ref, nsh_ref):
+        nb = jnp.maximum(nsh_ref[0], 1)
+        blk = tables_ref[jnp.minimum(it, nb - 1)]
+        return (layer_ref[0], blk, 0, 0, 0)
+
+    def scale_index(it, layer_ref, tables_ref, nsh_ref):
+        nb = jnp.maximum(nsh_ref[0], 1)
+        blk = tables_ref[jnp.minimum(it, nb - 1)]
+        return (layer_ref[0], blk, 0, 0)
+
+    quantized = k_scales is not None
+    kernel = _make_shared_prefix_kernel(
+        quantized=quantized, kv_heads=Hkv, rows=rows, head_dim=Dh,
+        compute_dtype=compute_dtype,
+    )
+    in_specs = [
+        pl.BlockSpec((Hkv, rows, Dh), lambda it, *p: (0, 0, 0)),
+        pl.BlockSpec((1, 1, Hkv, BS, Dh), kv_index),
+        pl.BlockSpec((1, 1, Hkv, BS, Dh), kv_index),
+    ]
+    operands = [
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        tables,
+        jnp.asarray(shared_nblocks, jnp.int32).reshape(1),
+        qf,
+        k_cache,
+        v_cache,
+    ]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, Hkv, BS), scale_index),
+            pl.BlockSpec((1, 1, Hkv, BS), scale_index),
+        ]
+        operands += [k_scales, v_scales]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(MSHB,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((Hkv, rows, Dh), lambda it, *p: (0, 0, 0)),
+            pl.BlockSpec((Hkv, rows), lambda it, *p: (0, 0)),
+            pl.BlockSpec((Hkv, rows), lambda it, *p: (0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, rows, 1), jnp.float32),
+            pltpu.VMEM((Hkv, rows, 1), jnp.float32),
+            pltpu.VMEM((Hkv, rows, Dh), jnp.float32),
+        ],
+    )
+    acc, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((Hkv, rows, Dh), jnp.float32),
+            jax.ShapeDtypeStruct((Hkv, rows), jnp.float32),
+            jax.ShapeDtypeStruct((Hkv, rows), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    acc = acc.reshape(Hkv, S, G, Dh).transpose(1, 0, 2, 3)  # [S, Hkv, G, Dh]
+    m = m.reshape(Hkv, S, G).transpose(1, 0, 2)             # [S, Hkv, G]
+    l = l.reshape(Hkv, S, G).transpose(1, 0, 2)
+    return acc, m, l
+
+
 def _window_commit_kernel(
     layer_ref, block_tables_ref, start_ref, valid_ref,
     kw_ref,             # [C, Hkv, K, Dh] window rows (cache dtype)
@@ -1301,7 +1468,7 @@ def _window_flash_block(q, k, v, kscale, vscale, pos_base, klimit, patch_k,
 
 def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
                              groups, head_dim, win, compute_dtype, sps,
-                             npar):
+                             npar, has_init):
     # Per-grid-step fixed cost (~1-2 us on v5e) dominates this kernel at
     # decode shapes, so the grid is minimized three ways: SPS sequence
     # lanes per step (independent flash updates — the hardware overlaps
@@ -1312,12 +1479,21 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
     # us/layer fetch floor at the batch-32 bench shape,
     # experiments/attn3_probe.py), and the staged-window update + finalize
     # folded into the LAST step instead of its own step.
+    #
+    # has_init: shared-prefix mode — sequences with skip_blocks > 0 seed
+    # their flash state from the shared-prefix partial (init_acc/m/l) and
+    # start history iteration at block skip_blocks; skip == 0 rows use the
+    # identity state (their init rows are garbage and never read).
     def kernel(*refs):
-        (layer_ref, tables_ref, start_ref, sub_ref,
-         q_ref, k_new_ref, v_new_ref, kw_ref, vw_ref) = refs[:9]
+        (layer_ref, tables_ref, start_ref, sub_ref, skip_ref,
+         q_ref, k_new_ref, v_new_ref, kw_ref, vw_ref) = refs[:10]
         ncache = 2 * npar * sps * (2 if quantized else 1)
-        cache_refs = refs[9:9 + ncache]
-        out_ref, m_scr, l_scr, acc_scr = refs[9 + ncache:]
+        cache_refs = refs[10:10 + ncache]
+        rest = refs[10 + ncache:]
+        if has_init:
+            init_acc_ref, init_m_ref, init_l_ref = rest[:3]
+            rest = rest[3:]
+        out_ref, m_scr, l_scr, acc_scr = rest
 
         ss = pl.program_id(0)
         it = pl.program_id(1)
@@ -1326,14 +1502,24 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
 
         @pl.when(it == 0)
         def _():
-            m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
-            l_scr[...] = jnp.zeros_like(l_scr)
-            acc_scr[...] = jnp.zeros_like(acc_scr)
+            if has_init:
+                for a in range(sps):
+                    use = skip_ref[ss * sps + a] > 0
+                    m_scr[a] = jnp.where(
+                        use, init_m_ref[a][..., None], _NEG_INF
+                    )
+                    l_scr[a] = jnp.where(use, init_l_ref[a][..., None], 0.0)
+                    acc_scr[a] = jnp.where(use, init_acc_ref[a], 0.0)
+            else:
+                m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+                l_scr[...] = jnp.zeros_like(l_scr)
+                acc_scr[...] = jnp.zeros_like(acc_scr)
 
         for a in range(sps):
             seq = ss * sps + a
             start = start_ref[seq]        # committed history length
             nb = pl.cdiv(start, block_size)
+            skip = skip_ref[seq]          # blocks covered by the init state
             q = (q_ref[a].reshape(kv_heads, groups, head_dim)
                  .astype(jnp.float32) * scale).astype(compute_dtype)
             msl = (m_scr.at[a], l_scr.at[a], acc_scr.at[a])
@@ -1347,10 +1533,10 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
                 else:
                     ks_ref = vs_ref = None
 
-                @pl.when(npar * it + par < nb)
+                @pl.when(skip + npar * it + par < nb)
                 def _(a=a, par=par, k_ref=k_ref, v_ref=v_ref,
                       ks_ref=ks_ref, vs_ref=vs_ref, q=q, start=start,
-                      msl=msl):
+                      skip=skip, msl=msl):
                     k = k_ref[0, 0]
                     v = v_ref[0, 0]
                     if quantized:
@@ -1360,7 +1546,8 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
                     else:
                         ksc = vsc = None
                     _window_flash_block(
-                        q, k, v, ksc, vsc, (npar * it + par) * block_size,
+                        q, k, v, ksc, vsc,
+                        (skip + npar * it + par) * block_size,
                         start, None, None, -1, *msl,
                         compute_dtype=compute_dtype, kv_heads=kv_heads,
                         groups=groups, head_dim=head_dim,
@@ -1388,7 +1575,9 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "max_rem")
+)
 def paged_attention_window(
     q: jax.Array,              # [S, Hq, Dh]
     k_new: jax.Array,          # [S, Hkv, Dh] this substep's row (full prec)
@@ -1401,15 +1590,24 @@ def paged_attention_window(
     block_tables: jax.Array,   # [S, MAXBLK]
     start_lens: jax.Array,     # [S] committed history length (= first window pos)
     substep: jax.Array,        # scalar j: staged rows w < j are valid
+    skip_blocks: jax.Array = None,  # [S] blocks covered by `init` (0 = none)
+    init: tuple = None,        # (acc [S,Hkv,G,Dh], m [S,Hkv,G], l [S,Hkv,G])
     *,
     scale: float,
+    max_rem: int = None,       # static: max history blocks any row iterates
     interpret: bool = False,
 ) -> jax.Array:
     """Window-mode flash decode attention in one kernel: committed history
     blocks (pipeline-gathered; per-row scales folded into scores/probs for
     quantized caches — O(BS) scale work instead of O(BS*Dh) block
     dequantization) + the staged window rows + this substep's own row.
-    Returns [S, Hq, Dh]."""
+    Returns [S, Hq, Dh].
+
+    Shared-prefix mode: `init` carries raw flash state from
+    `shared_prefix_partial`; rows with skip_blocks > 0 seed from it and
+    start history iteration at their skip offset (the shared span is never
+    re-fetched or re-attended per sequence). `max_rem` bounds the history
+    grid to the post-skip maximum so shared spans cost no grid steps."""
     k_scales = v_scales = None
     if isinstance(k_cache, tuple):
         k_cache, k_scales = k_cache
@@ -1422,26 +1620,37 @@ def paged_attention_window(
     tables = jnp.clip(block_tables, 0, NB - 1)
     compute_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
     SPS = 4 if S % 4 == 0 else (2 if S % 2 == 0 else 1)
+    if max_rem is None:
+        max_rem = MAXBLK
+    has_init = init is not None
+    if skip_blocks is None:
+        skip_blocks = jnp.zeros((S,), jnp.int32)
     # Paired even/odd fetches halve the grid only when sequences actually
     # span many blocks; at MAXBLK <= 2 the pair operand clamps to the same
     # block and RE-FETCHES it (the pipeline dedups only per-operand), which
     # doubled the KV fetch floor (59 -> 77 us/layer measured at the batch-32
     # bench shape, experiments/attn3_probe.py).
-    NPAR = 2 if MAXBLK >= 4 else 1
+    NPAR = 2 if max_rem >= 4 else 1
 
     def kv_index(a, par):
-        def index(ss, it, layer_ref, tables_ref, start_ref, sub_ref):
+        def index(ss, it, layer_ref, tables_ref, start_ref, sub_ref,
+                  skip_ref):
             seq = ss * SPS + a
             nb = jnp.maximum(pl.cdiv(start_ref[seq], BS), 1)
-            blk = tables_ref[seq, jnp.minimum(NPAR * it + par, nb - 1)]
+            blk = tables_ref[
+                seq, jnp.minimum(skip_ref[seq] + NPAR * it + par, nb - 1)
+            ]
             return (layer_ref[0], blk, 0, 0, 0)
         return index
 
     def scale_index(a, par):
-        def index(ss, it, layer_ref, tables_ref, start_ref, sub_ref):
+        def index(ss, it, layer_ref, tables_ref, start_ref, sub_ref,
+                  skip_ref):
             seq = ss * SPS + a
             nb = jnp.maximum(pl.cdiv(start_ref[seq], BS), 1)
-            blk = tables_ref[seq, jnp.minimum(NPAR * it + par, nb - 1)]
+            blk = tables_ref[
+                seq, jnp.minimum(skip_ref[seq] + NPAR * it + par, nb - 1)
+            ]
             return (layer_ref[0], blk, 0, 0)
         return index
 
@@ -1452,7 +1661,7 @@ def paged_attention_window(
     kernel = _make_window_attn_kernel(
         quantized=quantized, scale=scale, block_size=BS, kv_heads=Hkv,
         groups=groups, head_dim=Dh, win=W, compute_dtype=compute_dtype,
-        sps=SPS, npar=NPAR,
+        sps=SPS, npar=NPAR, has_init=has_init,
     )
     in_specs = [
         pl.BlockSpec((SPS, Hq, Dh), lambda ss, it, *p: (ss, 0, 0)),
@@ -1466,6 +1675,7 @@ def paged_attention_window(
         tables,
         start_lens,
         jnp.asarray(substep, jnp.int32).reshape(1),
+        jnp.asarray(skip_blocks, jnp.int32),
         q,
         k_new.astype(compute_dtype),
         v_new.astype(compute_dtype),
@@ -1487,9 +1697,21 @@ def paged_attention_window(
                     pl.BlockSpec((1, 1, Hkv, BS), scale_index(a, par)),
                 ]
                 operands += [k_scales, v_scales]
+    if has_init:
+        init_acc, init_m, init_l = init
+        in_specs += [
+            pl.BlockSpec((SPS, Hkv, groups, Dh), lambda ss, it, *p: (ss, 0, 0, 0)),
+            pl.BlockSpec((SPS, Hkv, groups), lambda ss, it, *p: (ss, 0, 0)),
+            pl.BlockSpec((SPS, Hkv, groups), lambda ss, it, *p: (ss, 0, 0)),
+        ]
+        operands += [
+            init_acc.astype(jnp.float32),
+            init_m.astype(jnp.float32),
+            init_l.astype(jnp.float32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(S // SPS, -(-MAXBLK // NPAR)),
+        num_scalar_prefetch=5,
+        grid=(S // SPS, max(1, -(-max_rem // NPAR))),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((SPS, Hq, Dh), lambda ss, it, *p: (ss, 0, 0)),
         scratch_shapes=[

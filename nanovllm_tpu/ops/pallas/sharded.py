@@ -182,13 +182,64 @@ def sharded_kv_window_commit(mesh: Mesh, k_win, v_win, k_cache, v_cache,
 
 def sharded_paged_attention_window(mesh: Mesh, q, k_new, v_new, k_staged,
                                    v_staged, k_cache, v_cache, layer_idx,
-                                   block_tables, start_lens, substep, *,
-                                   scale: float, interpret: bool = False):
+                                   block_tables, start_lens, substep,
+                                   skip_blocks=None, init=None, *,
+                                   scale: float, max_rem: int = None,
+                                   interpret: bool = False):
     """Unified window-mode decode attention with heads sharded over the
-    model axis (history blocks + staging + current row all head-parallel)."""
+    model axis (history blocks + staging + current row all head-parallel).
+
+    skip_blocks/init/max_rem: shared-prefix mode (see
+    paged_attention_window) — the init flash state is head-sharded exactly
+    like the attention itself, so the shared pass composes with TP with no
+    collectives."""
     from nanovllm_tpu.ops.pallas.paged_attention import paged_attention_window
 
-    fn = partial(paged_attention_window, scale=scale, interpret=interpret)
+    fn = partial(paged_attention_window, scale=scale, max_rem=max_rem,
+                 interpret=interpret)
+    cache_spec = P(None, None, AXIS_MODEL, None, None)
+    if isinstance(k_cache, tuple):
+        cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))
+    in_specs = [
+        P(None, AXIS_MODEL, None),                 # q [S, Hq, Dh]
+        P(None, AXIS_MODEL, None),                 # k_new [S, Hkv, Dh]
+        P(None, AXIS_MODEL, None),
+        P(None, None, AXIS_MODEL, None, None),     # k_staged [L,S,Hkv,K,Dh]
+        P(None, None, AXIS_MODEL, None, None),
+        cache_spec,
+        cache_spec,
+        _REP, _REP, _REP, _REP,
+    ]
+    operands = [q, k_new, v_new, k_staged, v_staged, k_cache, v_cache,
+                layer_idx, block_tables, start_lens, substep]
+    if init is not None:
+        in_specs += [
+            _REP,                                  # skip_blocks [S]
+            (
+                P(None, AXIS_MODEL, None, None),   # init acc [S, Hkv, G, Dh]
+                P(None, AXIS_MODEL, None),         # init m [S, Hkv, G]
+                P(None, AXIS_MODEL, None),         # init l
+            ),
+        ]
+        operands += [skip_blocks, init]
+    return _shard_map_mod.shard_map(
+        lambda *a: fn(*a),
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=P(None, AXIS_MODEL, None),
+        check_rep=False,
+    )(*operands)
+
+
+def sharded_shared_prefix_partial(mesh: Mesh, q, k_cache, v_cache, layer_idx,
+                                  shared_tables, shared_nblocks, *,
+                                  scale: float, interpret: bool = False):
+    """shared_prefix_partial with heads sharded over the model axis; the
+    returned flash state (acc, m, l) stays head-sharded for
+    sharded_paged_attention_window's init operands."""
+    from nanovllm_tpu.ops.pallas.paged_attention import shared_prefix_partial
+
+    fn = partial(shared_prefix_partial, scale=scale, interpret=interpret)
     cache_spec = P(None, None, AXIS_MODEL, None, None)
     if isinstance(k_cache, tuple):
         cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))
@@ -197,18 +248,17 @@ def sharded_paged_attention_window(mesh: Mesh, q, k_new, v_new, k_staged,
         mesh=mesh,
         in_specs=(
             P(None, AXIS_MODEL, None),                 # q [S, Hq, Dh]
-            P(None, AXIS_MODEL, None),                 # k_new [S, Hkv, Dh]
-            P(None, AXIS_MODEL, None),
-            P(None, None, AXIS_MODEL, None, None),     # k_staged [L,S,Hkv,K,Dh]
-            P(None, None, AXIS_MODEL, None, None),
             cache_spec,
             cache_spec,
-            _REP, _REP, _REP, _REP,
+            _REP, _REP, _REP,
         ),
-        out_specs=P(None, AXIS_MODEL, None),
+        out_specs=(
+            P(None, AXIS_MODEL, None, None),           # acc [S, Hkv, G, Dh]
+            P(None, AXIS_MODEL, None),                 # m [S, Hkv, G]
+            P(None, AXIS_MODEL, None),                 # l
+        ),
         check_rep=False,
-    )(q, k_new, v_new, k_staged, v_staged, k_cache, v_cache, layer_idx,
-      block_tables, start_lens, substep)
+    )(q, k_cache, v_cache, layer_idx, shared_tables, shared_nblocks)
 
 
 def sharded_quant_matmul(mesh: Mesh, x, qt, tp: str, *,
