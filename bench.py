@@ -194,6 +194,27 @@ def main():
         model_dir, "config3 int8+int8kv batch=256", num_seqs=256,
         quantization="int8", kv_cache_dtype="int8")
 
+    # Prefix-cache-hit throughput (BASELINE north star): a 1024-token
+    # system prompt shared by every request + 64 unique tokens, INT8
+    # weights + INT8 KV. Shared-prefix (cascade) attention attends the
+    # common span once per group per substep (docs/performance.md); the
+    # A/B against shared_prefix_attention=False isolates its gain.
+    # Pool: 4 shared blocks (the deduped prefix) + 3 per seq; the naive
+    # per-seq sizing would not fit HBM at batch 256, the POINT of prefix
+    # caching is that it doesn't need to.
+    for batch in (32, 256):
+        published[f"prefix_hit_int8_sysprompt1k_batch{batch}"] = bench_config(
+            model_dir, f"prefix-hit int8 sysprompt=1024 batch={batch}",
+            num_seqs=batch, shared_prefix=1024, prompt_len=1024 + 64,
+            num_kvcache_blocks=4 + batch * 3 + 8,
+            quantization="int8", kv_cache_dtype="int8")
+    published["prefix_hit_int8_sysprompt1k_batch32_nocascade"] = bench_config(
+        model_dir, "prefix-hit int8 batch=32 cascade OFF", num_seqs=32,
+        shared_prefix=1024, prompt_len=1024 + 64,
+        num_kvcache_blocks=4 + 32 * 3 + 8,
+        quantization="int8", kv_cache_dtype="int8",
+        shared_prefix_attention=False)
+
     # Config 3 at the Qwen3-4B architecture BASELINE.md names (block 128
     # + an exact 3-blocks-per-seq pool keeps 256 seqs + 4 GB int8 weights
     # inside one chip's HBM).

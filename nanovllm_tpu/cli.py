@@ -34,6 +34,8 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--enforce-eager", action="store_true")
     p.add_argument("--no-prefix-caching", action="store_true")
     p.add_argument("--sync", action="store_true", help="disable async pipelined scheduling")
+    p.add_argument("--no-shared-prefix", action="store_true",
+                   help="disable shared-prefix (cascade) decode attention")
 
 
 def _add_sampling_args(p: argparse.ArgumentParser) -> None:
@@ -83,6 +85,8 @@ def _build_engine(args):
         cfg.enable_prefix_caching = False
     if args.sync:
         cfg.async_scheduling = False
+    if getattr(args, "no_shared_prefix", False):
+        cfg.shared_prefix_attention = False
     return LLMEngine(cfg, rng_seed=getattr(args, "seed", 0))
 
 
