@@ -491,27 +491,38 @@ class ModelRunner:
             row_of={s.seq_id: i for i, s in enumerate(seqs)},
         )
 
+    # Cap on distinct shared-prefix groups per dispatch: each group costs
+    # one full shared-pass sweep of its span per layer per substep.
+    MAX_SHARED_GROUPS = 4
+
     def _shared_prefix_plan(self, seqs: List[Sequence], S: int, MAXBLK: int):
-        """Detect the best shared-prefix group for this decode window.
+        """Detect shared-prefix groups for this decode window.
 
         Sequences whose block tables start with the same committed blocks
         (prefix-cache hits: chained-hash dedup gives them literally the
-        same block ids, reference block_manager.rs:157-219) form a group;
-        the shared span is attended once for the whole group with a
-        single M = members*G dot per block (shared_prefix_partial) instead
-        of per-sequence M=G dots — the measured decode wall
-        (docs/performance.md). Returns (use, shared_tables, nshared,
-        skip_blocks, max_rem); purely an execution strategy, outputs are
-        identical either way (tests/test_shared_prefix.py)."""
+        same block ids, reference block_manager.rs:157-219) form groups;
+        each group's shared span is attended once for the whole group with
+        a single M = members*G dot per block (shared_prefix_partial)
+        instead of per-sequence M=G dots — the measured decode wall
+        (docs/performance.md). Returns (use, shared_tables [NG, MSHB],
+        shared_nblocks [NG], group_id [S], skip_blocks [S], max_rem);
+        purely an execution strategy, outputs are identical either way
+        (tests/test_shared_prefix.py)."""
         mode = self.config.shared_prefix_attention
         window_mode = self.attn_impl == "pallas_decode" and self.window_commit
         if mode is False or not window_mode:
-            return False, None, None, None, None
+            return False, None, None, None, None, None
         groups: Dict[int, List[int]] = {}
         for i, s in enumerate(seqs):
             if s.block_table:
                 groups.setdefault(s.block_table[0], []).append(i)
-        best, best_lcp, best_saved = None, 0, 0
+        # auto: each group's shared pass costs one extra kernel launch + a
+        # small fixed per-block overhead per layer; require enough saved
+        # per-sequence block visits to clear it. Measured on v5e
+        # (experiments/shared_prefix_probe.py): 31 saved visits is
+        # breakeven (0.96x), 124+ wins 1.4-2.1x.
+        threshold = 1 if mode is True else 64
+        chosen = []  # (saved, lcp, member_indices)
         for idx in groups.values():
             if len(idx) < 2:
                 continue
@@ -534,28 +545,30 @@ class ModelRunner:
             ):
                 lcp += 1
             saved = (len(idx) - 1) * lcp
-            if saved > best_saved:
-                best, best_lcp, best_saved = idx, lcp, saved
-        # auto: the shared pass costs one extra kernel launch + a small
-        # fixed per-block overhead per layer; require enough saved
-        # per-sequence block visits to clear it. Measured on v5e
-        # (experiments/shared_prefix_probe.py): 31 saved visits is
-        # breakeven (0.96x), 124+ wins 1.4-2.1x.
-        threshold = 1 if mode is True else 64
-        if best is None or best_lcp == 0 or best_saved < threshold:
-            return False, None, None, None, None
-        MSHB = _next_pow2(best_lcp)
-        shared_tables = np.zeros((MSHB,), np.int32)
-        shared_tables[:best_lcp] = seqs[best[0]].block_table[:best_lcp]
+            if lcp > 0 and saved >= threshold:
+                chosen.append((saved, lcp, idx))
+        if not chosen:
+            return False, None, None, None, None, None
+        chosen.sort(key=lambda t: -t[0])
+        chosen = chosen[: self.MAX_SHARED_GROUPS]
+        NG = len(chosen)
+        MSHB = _next_pow2(max(lcp for _, lcp, _ in chosen))
+        shared_tables = np.zeros((NG, MSHB), np.int32)
+        shared_nblocks = np.zeros((NG,), np.int32)
+        group_id = np.full((S,), -1, np.int32)
         skip = np.zeros((S,), np.int32)
-        for i in best:
-            skip[i] = best_lcp
+        for g, (_, lcp, idx) in enumerate(chosen):
+            shared_tables[g, :lcp] = seqs[idx[0]].block_table[:lcp]
+            shared_nblocks[g] = lcp
+            for i in idx:
+                group_id[i] = g
+                skip[i] = lcp
         rem = 1
         for i, s in enumerate(seqs):
             nb = -(-(s.total_len() - 1) // self.block_size)
             rem = max(rem, nb - int(skip[i]))
         max_rem = min(_next_pow2(rem), MAXBLK)
-        return True, shared_tables, np.int32(best_lcp), skip, int(max_rem)
+        return True, shared_tables, shared_nblocks, group_id, skip, int(max_rem)
 
     def _dispatch_decode_window(
         self, seqs: List[Sequence], key, prev: List[DispatchHandle]
@@ -572,7 +585,7 @@ class ModelRunner:
             MAXBLK = _next_pow2(max(len(s.block_table) for s in seqs))
         samp, flags = self._sampling_arrays(seqs, S)
         lp_n = self._logprobs_n(seqs)
-        use_shared, shared_tables, nshared, skip, max_rem = (
+        use_shared, shared_tables, nshared, group_id, skip, max_rem = (
             self._shared_prefix_plan(seqs, S, MAXBLK)
         )
         fk = (K, tuple(sorted(flags.items())), lp_n, use_shared)
@@ -628,7 +641,7 @@ class ModelRunner:
 
         extra = (
             dict(shared_tables=shared_tables, shared_nblocks=nshared,
-                 skip_blocks=skip, max_rem=max_rem)
+                 group_id=group_id, skip_blocks=skip, max_rem=max_rem)
             if use_shared else {}
         )
         toks, lp_dev, self.k_cache, self.v_cache = self._decode_fns[fk](

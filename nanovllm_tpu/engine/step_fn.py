@@ -102,10 +102,11 @@ def build_decode_window(
     append protocol). Padded rows have context_lens == 0; their slots are -1
     (dropped) and their sampled tokens are garbage the host ignores.
 
-    use_shared: shared-prefix attention — fn takes three extra positional
-    args (shared_tables [MSHB], shared_nblocks scalar, skip_blocks [S]) and
-    a static keyword max_rem; the window kernels attend the shared span
-    once for the whole member group (window-commit mode only).
+    use_shared: shared-prefix attention — fn takes extra args
+    (shared_tables [NG, MSHB], shared_nblocks [NG], group_id [S] with -1
+    for non-members, skip_blocks [S]) and a static keyword max_rem; the
+    window kernels attend each group's shared span once for all its
+    members (window-commit mode only).
     """
     track_history = any(
         flags.get(f) for f in ("use_penalty", "use_freq_pres", "use_seeds")
@@ -119,7 +120,7 @@ def build_decode_window(
     window_mode = attn_impl == "pallas_decode" and window_commit
 
     def fn(params, k_cache, v_cache, last_tokens, block_tables, context_lens,
-           samp, key, shared_tables=None, shared_nblocks=None,
+           samp, key, shared_tables=None, shared_nblocks=None, group_id=None,
            skip_blocks=None, max_rem=None):
         S, M = block_tables.shape
         rows = jnp.arange(S, dtype=jnp.int32)
@@ -161,6 +162,7 @@ def build_decode_window(
                 if use_shared:
                     win.update(shared_tables=shared_tables,
                                shared_nblocks=shared_nblocks,
+                               group_id=group_id,
                                skip_blocks=skip_blocks, max_rem=max_rem)
                 logits, k_cache, v_cache, (k_rows, v_rows) = forward_fn(
                     cfg, params, k_cache, v_cache, toks, meta,

@@ -22,6 +22,7 @@ TPU-first design:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
 import jax
@@ -277,6 +278,26 @@ def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array,
 # Forward
 # ---------------------------------------------------------------------------
 
+def _select_group_init(part_fn, window):
+    """Run the shared-prefix pass for each group and gather every
+    sequence's init flash state from ITS group (group_id < 0 rows get
+    group 0's values, but their skip_blocks == 0 makes the window kernel
+    ignore the init entirely)."""
+    tables = window["shared_tables"]      # [NG, MSHB]
+    nblocks = window["shared_nblocks"]    # [NG]
+    gid = window["group_id"]              # [S]
+    NG = tables.shape[0]
+    parts = [part_fn(tables[g], nblocks[g]) for g in range(NG)]
+    if NG == 1:
+        return parts[0]
+    acc = jnp.stack([p[0] for p in parts])   # [NG, S, Hkv, G, Dh]
+    m = jnp.stack([p[1] for p in parts])     # [NG, S, Hkv, G]
+    l = jnp.stack([p[2] for p in parts])
+    sel = jnp.clip(gid, 0, NG - 1)
+    rows = jnp.arange(gid.shape[0])
+    return acc[sel, rows], m[sel, rows], l[sel, rows]
+
+
 def forward(
     cfg: Qwen3Config,
     params: dict,
@@ -367,14 +388,16 @@ def forward(
 
                 init = skip = None
                 if shared:
-                    # Shared-prefix pass: attend the common block span once
-                    # with the whole group's queries (M = members*G per
-                    # dot), then seed the per-seq kernel from its state.
-                    init = sharded_shared_prefix_partial(
-                        mesh, q, kc, vc, layer_idx, window["shared_tables"],
-                        window["shared_nblocks"], scale=scale,
-                        interpret=interp,
+                    # Shared-prefix pass per group: attend each common
+                    # block span once with every sequence's queries
+                    # (M = S*G per dot), then seed each member's per-seq
+                    # kernel from ITS group's state (gathered by group_id;
+                    # skip == 0 rows ignore the init entirely).
+                    part = partial(
+                        sharded_shared_prefix_partial, mesh, q, kc, vc,
+                        layer_idx, scale=scale, interpret=interp,
                     )
+                    init = _select_group_init(part, window)
                     skip = window["skip_blocks"]
                 attn = sharded_paged_attention_window(
                     mesh, q, k, v, window["k_win"], window["v_win"], kc, vc,
@@ -390,11 +413,11 @@ def forward(
 
                 init = skip = None
                 if shared:
-                    init = shared_prefix_partial(
-                        q, kc, vc, layer_idx, window["shared_tables"],
-                        window["shared_nblocks"], scale=scale,
-                        interpret=interp,
+                    part = partial(
+                        shared_prefix_partial, q, kc, vc, layer_idx,
+                        scale=scale, interpret=interp,
                     )
+                    init = _select_group_init(part, window)
                     skip = window["skip_blocks"]
                 attn = paged_attention_window(
                     q, k, v, window["k_win"], window["v_win"], kc, vc,

@@ -197,6 +197,118 @@ class TestWindowWithSharedInit:
             assert used_shared == shared, eng.model_runner._decode_fns.keys()
         assert outs[True] == outs[False]
 
+    def test_engine_two_groups(self, tmp_path):
+        """Two distinct system prompts in one batch: both groups cascade,
+        outputs identical to cascade-off."""
+        import json
+
+        from nanovllm_tpu import Config, SamplingParams
+        from nanovllm_tpu.engine.llm_engine import LLMEngine
+
+        d = tmp_path / "m"
+        d.mkdir()
+        with open(d / "config.json", "w") as f:
+            json.dump(dict(model_type="qwen3", vocab_size=512,
+                           hidden_size=256, intermediate_size=512,
+                           num_hidden_layers=1, num_attention_heads=8,
+                           num_key_value_heads=4, head_dim=128,
+                           tie_word_embeddings=True), f)
+        sys_a = "Assistant persona alpha, always formal in tone. "
+        sys_b = "Persona beta: casual, brief, playful answers ok. "
+        prompts = [sys_a + "Hi", sys_a + "Name a fruit",
+                   sys_b + "Hello", sys_b + "Count to three"]
+        outs = {}
+        for shared in (False, True):
+            cfg = Config(model_path=str(d), dtype="float32",
+                         kv_cache_dtype="int8", kvcache_block_size=16,
+                         num_kvcache_blocks=64, max_model_len=128,
+                         decode_window=4, use_pallas=True,
+                         pallas_interpret=True,
+                         shared_prefix_attention=shared)
+            eng = LLMEngine(cfg, rng_seed=0)
+            o = eng.generate(
+                prompts,
+                SamplingParams(temperature=0.0, max_tokens=6,
+                               ignore_eos=True),
+            )
+            outs[shared] = [x.completion_token_ids for x in o]
+        assert outs[True] == outs[False]
+
+    def test_plan_multi_group(self):
+        """Host-side group detection: two groups, per-group thresholds,
+        full-committed-block cap, skip/group_id assignment."""
+        from types import SimpleNamespace
+
+        from nanovllm_tpu.engine.model_runner import ModelRunner
+
+        def seq(bt, total):
+            return SimpleNamespace(block_table=bt, total_len=lambda: total)
+
+        fake = SimpleNamespace(
+            config=SimpleNamespace(shared_prefix_attention="auto"),
+            attn_impl="pallas_decode", window_commit=True, block_size=16,
+            MAX_SHARED_GROUPS=4,
+        )
+        # Group A: 3 members sharing 32 blocks (saved 64 >= threshold);
+        # group B: 2 members sharing 40 (saved 40 < 64 -> dropped);
+        # loner: no group.
+        ga = list(range(100, 132))
+        gb = list(range(200, 240))
+        seqs = [
+            seq(ga + [1], 32 * 16 + 5),
+            seq(ga + [2], 32 * 16 + 9),
+            seq(ga + [3, 4], 33 * 16 + 2),
+            seq(gb + [5], 40 * 16 + 3),
+            seq(gb + [6], 40 * 16 + 7),
+            seq([7, 8], 20),
+        ]
+        use, st, nsh, gid, skip, max_rem = ModelRunner._shared_prefix_plan(
+            fake, seqs, S=8, MAXBLK=64
+        )
+        assert use
+        assert st.shape[0] == 1 and nsh.tolist() == [32]
+        assert gid.tolist() == [0, 0, 0, -1, -1, -1, -1, -1]
+        assert skip.tolist() == [32, 32, 32, 0, 0, 0, 0, 0]
+        assert (st[0, :32] == np.asarray(ga)).all()
+        # Forced mode (threshold 1): both groups selected, biggest first.
+        fake.config.shared_prefix_attention = True
+        use, st, nsh, gid, skip, max_rem = ModelRunner._shared_prefix_plan(
+            fake, seqs, S=8, MAXBLK=64
+        )
+        assert use and st.shape[0] == 2
+        assert nsh.tolist() == [32, 40]
+        assert gid.tolist() == [0, 0, 0, 1, 1, -1, -1, -1]
+        assert skip.tolist() == [32, 32, 32, 40, 40, 0, 0, 0]
+        # max_rem covers the loner's full history (2 blocks).
+        assert max_rem >= 2
+
+    def test_plan_caps_at_committed_blocks(self):
+        """A member whose committed history ends inside the shared span
+        caps the group's lcp at its full-block count."""
+        from types import SimpleNamespace
+
+        from nanovllm_tpu.engine.model_runner import ModelRunner
+
+        def seq(bt, total):
+            return SimpleNamespace(block_table=bt, total_len=lambda: total)
+
+        fake = SimpleNamespace(
+            config=SimpleNamespace(shared_prefix_attention=True),
+            attn_impl="pallas_decode", window_commit=True, block_size=16,
+            MAX_SHARED_GROUPS=4,
+        )
+        shared = [10, 11, 12, 13]
+        seqs = [
+            seq(shared + [1], 4 * 16 + 8),
+            # committed start = 2*16+3 -> only 2 FULL blocks committed
+            seq(shared + [2], 2 * 16 + 4),
+        ]
+        use, st, nsh, gid, skip, max_rem = ModelRunner._shared_prefix_plan(
+            fake, seqs, S=2, MAXBLK=8
+        )
+        assert use and nsh.tolist() == [2]
+        assert skip.tolist() == [2, 2]
+
     def test_plain_call_unchanged(self):
         """No skip/init arguments -> identical to the historical behavior
         (regression guard for the signature extension)."""
