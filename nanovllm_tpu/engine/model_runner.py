@@ -179,8 +179,15 @@ class ModelRunner:
         )
         self.attn_impl = "pallas_decode" if base_pallas else "ref"
         self.prefill_attn_impl = "pallas_prefill" if base_pallas else "ref"
+        # window_commit auto: ON for quantized KV (measured 10.0k vs 7.7k
+        # tok/s), OFF for bf16 (staging traffic outweighs the savings) —
+        # UNLESS the user forces shared_prefix_attention=True: cascade
+        # requires window mode, and forcing it signals a prefix-heavy
+        # workload where the cascade savings dominate the bf16 staging
+        # cost (docs/performance.md).
+        auto_on = kv_quantized or config.shared_prefix_attention is True
         self.window_commit = (
-            kv_quantized if config.window_commit == "auto" else bool(config.window_commit)
+            auto_on if config.window_commit == "auto" else bool(config.window_commit)
         )
 
         # Jit caches: one compiled executable per (flags, shape bucket) — the
