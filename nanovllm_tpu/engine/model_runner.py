@@ -519,6 +519,12 @@ class ModelRunner:
         window_mode = self.attn_impl == "pallas_decode" and self.window_commit
         if mode is False or not window_mode:
             return False, None, None, None, None, None
+        if self.model_config.sliding_window is not None:
+            # Sliding-window attention masks per-sequence position ranges
+            # inside the shared span; the group-batched shared pass cannot
+            # express that, so cascade is disabled (the skip machinery is
+            # used by the window kernels' own below-window block skipping).
+            return False, None, None, None, None, None
         groups: Dict[int, List[int]] = {}
         for i, s in enumerate(seqs):
             if s.block_table:

@@ -63,6 +63,10 @@ class Qwen3Config:
     # RoPE; Llama/Mistral don't; Qwen2 adds qkv biases instead.
     use_qk_norm: bool = True
     attention_bias: bool = False
+    # Sliding-window attention (Mistral/Qwen2-style): each query attends
+    # only the last `sliding_window` keys (HF semantics: key visible iff
+    # q_pos - k_pos < sliding_window, plus causal). None = full attention.
+    sliding_window: Optional[int] = None
 
     @classmethod
     def from_hf(cls, d: dict, **overrides) -> "Qwen3Config":
@@ -72,6 +76,11 @@ class Qwen3Config:
         factor = 1.0
         if stype == "linear":
             factor = float(scaling.get("factor", 1.0))
+        # Mistral configs carry sliding_window directly (null = off);
+        # Qwen2/Qwen3 gate it behind use_sliding_window (default False).
+        sw = d.get("sliding_window")
+        if not d.get("use_sliding_window", True):
+            sw = None
         return cls(
             rope_scaling=dict(scaling) if stype == "yarn" else None,
             **overrides,
@@ -87,6 +96,7 @@ class Qwen3Config:
             rope_theta=d.get("rope_theta", 10000.0),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             rope_scaling_factor=factor,
+            sliding_window=int(sw) if sw else None,
         )
 
     @classmethod
@@ -380,6 +390,10 @@ def forward(
             # scan ys; the staging buffer updates once per substep.
             interp = jax.default_backend() != "tpu"
             shared = window.get("shared_tables") is not None
+            assert not (shared and cfg.sliding_window), (
+                "cascade is disabled under sliding-window attention "
+                "(model_runner._shared_prefix_plan gates it)"
+            )
             if mesh is not None:
                 from nanovllm_tpu.ops.pallas.sharded import (
                     sharded_paged_attention_window,
@@ -403,7 +417,8 @@ def forward(
                     mesh, q, k, v, window["k_win"], window["v_win"], kc, vc,
                     layer_idx, meta.block_tables, window["start_lens"],
                     window["substep"], skip, init, scale=scale,
-                    max_rem=window.get("max_rem"), interpret=interp,
+                    max_rem=window.get("max_rem"),
+                    sliding_window=cfg.sliding_window, interpret=interp,
                 )
             else:
                 from nanovllm_tpu.ops.pallas.paged_attention import (
@@ -423,7 +438,8 @@ def forward(
                     q, k, v, window["k_win"], window["v_win"], kc, vc,
                     layer_idx, meta.block_tables, window["start_lens"],
                     window["substep"], skip, init, scale=scale,
-                    max_rem=window.get("max_rem"), interpret=interp,
+                    max_rem=window.get("max_rem"),
+                    sliding_window=cfg.sliding_window, interpret=interp,
                 )
         elif attn_impl == "pallas_decode":
             # Attention reads the caches + an in-VMEM patch of this step's
@@ -441,7 +457,8 @@ def forward(
 
                 attn = sharded_paged_attention_decode(
                     mesh, q, k, v, kc, vc, layer_idx, meta.block_tables,
-                    meta.context_lens, scale=scale, interpret=interp,
+                    meta.context_lens, scale=scale,
+                    sliding_window=cfg.sliding_window, interpret=interp,
                 )
                 kc, vc = sharded_kv_cache_commit(
                     mesh, k, v, kc, vc, layer_idx, meta.block_tables,
@@ -455,7 +472,8 @@ def forward(
 
                 attn = paged_attention_decode(
                     q, k, v, kc, vc, layer_idx, meta.block_tables,
-                    meta.context_lens, scale=scale, interpret=interp,
+                    meta.context_lens, scale=scale,
+                    sliding_window=cfg.sliding_window, interpret=interp,
                 )
                 kc, vc = kv_cache_commit(
                     k, v, kc, vc, layer_idx, meta.block_tables,
@@ -499,7 +517,7 @@ def forward(
                     mesh, q, kc, vc, layer_idx, meta.block_tables,
                     meta.context_lens, meta.q_gather, meta.q_positions,
                     meta.token_seq, meta.token_qcol, scale=scale,
-                    interpret=interp,
+                    sliding_window=cfg.sliding_window, interpret=interp,
                 )
             else:
                 kc, vc = prefill_kv_commit(
@@ -510,12 +528,16 @@ def forward(
                 attn = paged_attention_prefill(
                     q, kc, vc, layer_idx, meta.block_tables, meta.context_lens,
                     meta.q_gather, meta.q_positions, meta.token_seq,
-                    meta.token_qcol, scale=scale, interpret=interp,
+                    meta.token_qcol, scale=scale,
+                    sliding_window=cfg.sliding_window, interpret=interp,
                 )
         else:
             kc = kv_cache_write(kc, k, meta.slot_mapping, layer_idx)
             vc = kv_cache_write(vc, v, meta.slot_mapping, layer_idx)
-            attn = paged_attention_ref(q, kc, vc, layer_idx, meta, scale)
+            attn = paged_attention_ref(
+                q, kc, vc, layer_idx, meta, scale,
+                sliding_window=cfg.sliding_window,
+            )
         h = h + matmul(attn.reshape(T, Hq * Dh), lp["o"], mesh=mesh, tp="row")
 
         # MLP block (reference: qwen3.rs:305-314)

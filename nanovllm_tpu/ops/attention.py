@@ -101,6 +101,7 @@ def paged_attention_ref(
     layer_idx,
     meta: AttentionMetadata,
     scale: float,
+    sliding_window: int = None,
 ) -> jax.Array:
     """Unified paged attention (prefill + decode) via block-table gather.
 
@@ -109,6 +110,9 @@ def paged_attention_ref(
       stacked caches — must already contain this step's K/V (scatter first,
       then attend); layer_idx selects the layer inside the gather so no full
       layer slice is materialized.
+    sliding_window: Mistral/Qwen2-style local attention — key visible iff
+      q_pos - k_pos < sliding_window (HF transformers semantics; None =
+      full causal attention).
     Returns [T, num_heads, head_dim].
     """
     T, num_heads, head_dim = q.shape
@@ -151,6 +155,13 @@ def paged_attention_ref(
     kv_pos = jnp.arange(L, dtype=jnp.int32)
     mask = meta.q_positions[:, None, None, :, None] >= kv_pos[None, None, None, None, :]
     mask = mask & (kv_pos[None, None, None, None, :] < meta.context_lens[:, None, None, None, None])
+    if sliding_window is not None:
+        # Key visible iff q_pos - k_pos < sliding_window (HF semantics).
+        mask = mask & (
+            meta.q_positions[:, None, None, :, None]
+            - kv_pos[None, None, None, None, :]
+            < sliding_window
+        )
     scores = jnp.where(mask, scores, _NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)

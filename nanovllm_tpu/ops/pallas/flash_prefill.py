@@ -65,6 +65,7 @@ def _prefill_kernel(
     groups: int,
     head_dim: int,
     chunk: int,
+    sliding_window: int = None,
 ):
     s = pl.program_id(0)
     qt = pl.program_id(1)
@@ -79,6 +80,12 @@ def _prefill_kernel(
     tile_valid = qt * QT < qlen
     kv_lo = step * chunk
     step_needed = tile_valid & (kv_lo < ctx) & (kv_lo <= tile_hi)
+    if sliding_window is not None:
+        # Lowest visible key of this q tile: its FIRST query's window edge.
+        tile_lo_pos = qstart_ref[s] + qt * QT
+        step_needed = step_needed & (
+            kv_lo + chunk > tile_lo_pos - (sliding_window - 1)
+        )
 
     @pl.when(step == 0)
     def _():
@@ -109,6 +116,8 @@ def _prefill_kernel(
             jnp.int32, (1, QT * groups, chunk), 2
         )
         mask = (kvpos <= qpos_g) & (kvpos < ctx)
+        if sliding_window is not None:
+            mask = mask & (qpos_g - kvpos < sliding_window)
         scores = jnp.where(mask, scores, _NEG_INF)
 
         m = m_scr[...]
@@ -148,6 +157,7 @@ def _prefill_kernel_quant(
     groups: int,
     head_dim: int,
     chunk: int,
+    sliding_window: int = None,
 ):
     """Quantized-cache prefill flash: per-row scales fold into scores /
     probabilities (O(CHUNK) work instead of O(CHUNK*Dh) dequantization)."""
@@ -163,6 +173,12 @@ def _prefill_kernel_quant(
     tile_valid = qt * QT < qlen
     kv_lo = step * chunk
     step_needed = tile_valid & (kv_lo < ctx) & (kv_lo <= tile_hi)
+    if sliding_window is not None:
+        # Lowest visible key of this q tile: its FIRST query's window edge.
+        tile_lo_pos = qstart_ref[s] + qt * QT
+        step_needed = step_needed & (
+            kv_lo + chunk > tile_lo_pos - (sliding_window - 1)
+        )
 
     @pl.when(step == 0)
     def _():
@@ -192,6 +208,8 @@ def _prefill_kernel_quant(
             jnp.int32, (1, QT * groups, chunk), 2
         )
         mask = (kvpos <= qpos_g) & (kvpos < ctx)
+        if sliding_window is not None:
+            mask = mask & (qpos_g - kvpos < sliding_window)
         scores = jnp.where(mask, scores, _NEG_INF)
 
         m = m_scr[...]
@@ -216,7 +234,9 @@ def _prefill_kernel_quant(
         out_ref[0] = out.reshape(kv_heads, QT, groups, head_dim).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "sliding_window")
+)
 def paged_attention_prefill(
     q: jax.Array,              # [T, Hq, Dh] flat (RoPE'd)
     k_cache: jax.Array,        # [L, NB, Hkv, BS, Dh] — ALREADY contains this
@@ -230,6 +250,7 @@ def paged_attention_prefill(
     token_qcol: jax.Array,     # [T] query column of each flat token
     *,
     scale: float,
+    sliding_window: int = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash varlen prefill attention (plain or quantized tuple caches).
@@ -292,6 +313,7 @@ def paged_attention_prefill(
     kernel = functools.partial(
         _prefill_kernel_quant if quantized else _prefill_kernel,
         scale=scale, kv_heads=Hkv, groups=G, head_dim=Dh, chunk=chunk,
+        sliding_window=sliding_window,
     )
     in_specs = [
         pl.BlockSpec(

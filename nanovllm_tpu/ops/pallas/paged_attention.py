@@ -55,11 +55,13 @@ def _sublane_tile(dtype) -> int:
 
 def _flash_accumulate(
     q_ref, k, v, k_new_ref, v_new_ref, it, ctx, m_scr, l_scr, acc_scr,
-    *, scale, block_size, kv_heads, groups, head_dim,
+    *, scale, block_size, kv_heads, groups, head_dim, sliding_window=None,
 ):
     """One flash-softmax block update (shared by the plain and quantized
     kernels). k/v: [Hkv, BS, Dh] f32, already dequantized. k_new_ref=None
-    skips the current-token patch (partial/history attention)."""
+    skips the current-token patch (partial/history attention).
+    sliding_window (static): the query sits at position ctx-1; keys below
+    ctx - sliding_window are masked (HF semantics: q - k < window)."""
     q = q_ref[0].reshape(kv_heads, groups, head_dim).astype(jnp.float32) * scale
 
     if k_new_ref is not None:
@@ -82,7 +84,10 @@ def _flash_accumulate(
     kpos = it * block_size + jax.lax.broadcasted_iota(
         jnp.int32, (kv_heads, groups, block_size), 2
     )
-    scores = jnp.where(kpos < ctx, scores, _NEG_INF)
+    valid = kpos < ctx
+    if sliding_window is not None:
+        valid = valid & (kpos >= ctx - sliding_window)
+    scores = jnp.where(valid, scores, _NEG_INF)
 
     m = m_scr[...]
     m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
@@ -125,6 +130,7 @@ def _attn_kernel(
     kv_heads: int,
     groups: int,
     head_dim: int,
+    sliding_window: int = None,
 ):
     s = pl.program_id(0)
     it = pl.program_id(1)
@@ -138,14 +144,19 @@ def _attn_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(it < nb)
+    needed = it < nb
+    if sliding_window is not None:
+        # Skip blocks entirely below the window of the query at ctx-1.
+        needed = needed & ((it + 1) * block_size > ctx - sliding_window)
+
+    @pl.when(needed)
     def _():
         k = k_blk_ref[0, 0].astype(jnp.float32)  # [Hkv, BS, Dh]
         v = v_blk_ref[0, 0].astype(jnp.float32)
         _flash_accumulate(
             q_ref, k, v, k_new_ref, v_new_ref, it, ctx, m_scr, l_scr, acc_scr,
             scale=scale, block_size=block_size, kv_heads=kv_heads,
-            groups=groups, head_dim=head_dim,
+            groups=groups, head_dim=head_dim, sliding_window=sliding_window,
         )
 
     @pl.when(it == last_it)
@@ -178,6 +189,7 @@ def _attn_kernel_quant(
     kv_heads: int,
     groups: int,
     head_dim: int,
+    sliding_window: int = None,
 ):
     """Quantized-KV flash decode: dequantize the fetched block in VMEM with
     its per-(token,head) scales, then the shared flash update."""
@@ -193,14 +205,18 @@ def _attn_kernel_quant(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(it < nb)
+    needed = it < nb
+    if sliding_window is not None:
+        needed = needed & ((it + 1) * block_size > ctx - sliding_window)
+
+    @pl.when(needed)
     def _():
         k = k_blk_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0][..., None]
         v = v_blk_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0][..., None]
         _flash_accumulate(
             q_ref, k, v, k_new_ref, v_new_ref, it, ctx, m_scr, l_scr, acc_scr,
             scale=scale, block_size=block_size, kv_heads=kv_heads,
-            groups=groups, head_dim=head_dim,
+            groups=groups, head_dim=head_dim, sliding_window=sliding_window,
         )
 
     @pl.when(it == last_it)
@@ -210,7 +226,9 @@ def _attn_kernel_quant(
         out_ref[0] = out.reshape(kv_heads * groups, head_dim).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "sliding_window")
+)
 def paged_attention_decode(
     q: jax.Array,              # [S, Hq, Dh]
     k_new: jax.Array,          # [S, Hkv, Dh] — this step's K (RoPE'd)
@@ -222,6 +240,7 @@ def paged_attention_decode(
     context_lens: jax.Array,   # [S] int32, INCLUDING this step's token
     *,
     scale: float,
+    sliding_window: int = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash paged decode attention; the current token's K/V is taken from
@@ -258,6 +277,7 @@ def paged_attention_decode(
     kernel = functools.partial(
         _attn_kernel_quant if quantized else _attn_kernel,
         scale=scale, block_size=BS, kv_heads=Hkv, groups=groups, head_dim=Dh,
+        sliding_window=sliding_window,
     )
     in_specs = [
         pl.BlockSpec((1, Hq, Dh), lambda s, it, *p: (s, 0, 0)),
@@ -1416,12 +1436,14 @@ def _window_commit_kernel_quant(
 
 def _window_flash_block(q, k, v, kscale, vscale, pos_base, klimit, patch_k,
                         patch_v, patch_pos, m_scr, l_scr, acc_scr, *,
-                        compute_dtype, kv_heads, groups, head_dim):
+                        compute_dtype, kv_heads, groups, head_dim,
+                        lo_limit=None):
     """One flash block update. q: [Hkv, G, Dh] (pre-scaled, compute dtype);
     k/v: [Hkv, B, Dh]; kscale/vscale: [Hkv, B] f32 or None (folded into
     scores / probabilities — O(B) work instead of O(B*Dh) block
     dequantization); pos_base: absolute position of the block's row 0;
-    rows with position >= klimit are masked; patch_k/v: [Hkv, Dh] row
+    rows with position >= klimit are masked, and (sliding window) rows
+    below lo_limit when given; patch_k/v: [Hkv, Dh] row
     substituted at absolute position patch_pos (None disables).
 
     A transposed formulation (scores_T = k @ q^T with M=block rows) was
@@ -1447,7 +1469,10 @@ def _window_flash_block(q, k, v, kscale, vscale, pos_base, klimit, patch_k,
     pos_g = pos_base + jax.lax.broadcasted_iota(
         jnp.int32, (kv_heads, groups, B), 2
     )
-    scores = jnp.where(pos_g < klimit, scores, _NEG_INF)
+    valid = pos_g < klimit
+    if lo_limit is not None:
+        valid = valid & (pos_g >= lo_limit)
+    scores = jnp.where(valid, scores, _NEG_INF)
 
     m = m_scr[...]
     m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
@@ -1468,7 +1493,7 @@ def _window_flash_block(q, k, v, kscale, vscale, pos_base, klimit, patch_k,
 
 def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
                              groups, head_dim, win, compute_dtype, sps,
-                             npar, has_init):
+                             npar, has_init, sliding_window=None):
     # Per-grid-step fixed cost (~1-2 us on v5e) dominates this kernel at
     # decode shapes, so the grid is minimized three ways: SPS sequence
     # lanes per step (independent flash updates — the hardware overlaps
@@ -1523,6 +1548,10 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
             q = (q_ref[a].reshape(kv_heads, groups, head_dim)
                  .astype(jnp.float32) * scale).astype(compute_dtype)
             msl = (m_scr.at[a], l_scr.at[a], acc_scr.at[a])
+            # Sliding window: this substep's query sits at position
+            # start + j; keys below lo are masked (HF: q - k < window).
+            lo = (start + j - (sliding_window - 1)
+                  if sliding_window is not None else None)
 
             for par in range(npar):
                 k_ref = cache_refs[2 * npar * a + 2 * par]
@@ -1533,10 +1562,19 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
                 else:
                     ks_ref = vs_ref = None
 
-                @pl.when(skip + npar * it + par < nb)
+                blk_idx = skip + npar * it + par
+                needed = blk_idx < nb
+                if sliding_window is not None:
+                    # Skip blocks entirely below the lowest substep-0
+                    # window edge (lo only rises with j).
+                    needed = needed & (
+                        (blk_idx + 1) * block_size > start - sliding_window
+                    )
+
+                @pl.when(needed)
                 def _(a=a, par=par, k_ref=k_ref, v_ref=v_ref,
                       ks_ref=ks_ref, vs_ref=vs_ref, q=q, start=start,
-                      skip=skip, msl=msl):
+                      skip=skip, msl=msl, lo=lo, blk_idx=blk_idx):
                     k = k_ref[0, 0]
                     v = v_ref[0, 0]
                     if quantized:
@@ -1547,14 +1585,14 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
                         ksc = vsc = None
                     _window_flash_block(
                         q, k, v, ksc, vsc,
-                        (skip + npar * it + par) * block_size,
+                        blk_idx * block_size,
                         start, None, None, -1, *msl,
                         compute_dtype=compute_dtype, kv_heads=kv_heads,
-                        groups=groups, head_dim=head_dim,
+                        groups=groups, head_dim=head_dim, lo_limit=lo,
                     )
 
             @pl.when(it == last_it)
-            def _(a=a, q=q, start=start, msl=msl):
+            def _(a=a, q=q, start=start, msl=msl, lo=lo):
                 # Staged window rows (w < j) + this substep's own row
                 # patched at w == j, at full precision.
                 kw = kw_ref[0, a].astype(compute_dtype)  # [Hkv, K, Dh]
@@ -1565,7 +1603,7 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
                     v_new_ref[a].astype(compute_dtype),
                     start + j, *msl,
                     compute_dtype=compute_dtype, kv_heads=kv_heads,
-                    groups=groups, head_dim=head_dim,
+                    groups=groups, head_dim=head_dim, lo_limit=lo,
                 )
                 m_, l_, acc_ = msl
                 l = l_[...]
@@ -1576,7 +1614,8 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "interpret", "max_rem")
+    jax.jit,
+    static_argnames=("scale", "interpret", "max_rem", "sliding_window"),
 )
 def paged_attention_window(
     q: jax.Array,              # [S, Hq, Dh]
@@ -1595,6 +1634,7 @@ def paged_attention_window(
     *,
     scale: float,
     max_rem: int = None,       # static: max history blocks any row iterates
+    sliding_window: int = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Window-mode flash decode attention in one kernel: committed history
@@ -1661,7 +1701,7 @@ def paged_attention_window(
     kernel = _make_window_attn_kernel(
         quantized=quantized, scale=scale, block_size=BS, kv_heads=Hkv,
         groups=groups, head_dim=Dh, win=W, compute_dtype=compute_dtype,
-        sps=SPS, npar=NPAR, has_init=has_init,
+        sps=SPS, npar=NPAR, has_init=has_init, sliding_window=sliding_window,
     )
     in_specs = [
         pl.BlockSpec((SPS, Hq, Dh), lambda ss, it, *p: (ss, 0, 0)),

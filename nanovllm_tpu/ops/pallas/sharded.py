@@ -24,11 +24,13 @@ _REP = P()
 def sharded_paged_attention_decode(mesh: Mesh, q, k_new, v_new, k_cache,
                                    v_cache, layer_idx, block_tables,
                                    context_lens, *, scale: float,
+                                   sliding_window: int = None,
                                    interpret: bool = False):
     """paged_attention_decode with heads sharded over the model axis."""
     from nanovllm_tpu.ops.pallas.paged_attention import paged_attention_decode
 
-    fn = partial(paged_attention_decode, scale=scale, interpret=interpret)
+    fn = partial(paged_attention_decode, scale=scale,
+                 sliding_window=sliding_window, interpret=interpret)
     cache_spec = P(None, None, AXIS_MODEL, None, None)
     if isinstance(k_cache, tuple):
         cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))
@@ -78,10 +80,12 @@ def sharded_paged_attention_prefill(mesh: Mesh, q, k_cache, v_cache,
                                     layer_idx, block_tables, context_lens,
                                     q_gather, q_positions, token_seq,
                                     token_qcol, *, scale: float,
+                                    sliding_window: int = None,
                                     interpret: bool = False):
     from nanovllm_tpu.ops.pallas.flash_prefill import paged_attention_prefill
 
-    fn = partial(paged_attention_prefill, scale=scale, interpret=interpret)
+    fn = partial(paged_attention_prefill, scale=scale,
+                 sliding_window=sliding_window, interpret=interpret)
     cache_spec = P(None, None, AXIS_MODEL, None, None)
     if isinstance(k_cache, tuple):
         cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))
@@ -185,6 +189,7 @@ def sharded_paged_attention_window(mesh: Mesh, q, k_new, v_new, k_staged,
                                    block_tables, start_lens, substep,
                                    skip_blocks=None, init=None, *,
                                    scale: float, max_rem: int = None,
+                                   sliding_window: int = None,
                                    interpret: bool = False):
     """Unified window-mode decode attention with heads sharded over the
     model axis (history blocks + staging + current row all head-parallel).
@@ -196,7 +201,7 @@ def sharded_paged_attention_window(mesh: Mesh, q, k_new, v_new, k_staged,
     from nanovllm_tpu.ops.pallas.paged_attention import paged_attention_window
 
     fn = partial(paged_attention_window, scale=scale, max_rem=max_rem,
-                 interpret=interpret)
+                 sliding_window=sliding_window, interpret=interpret)
     cache_spec = P(None, None, AXIS_MODEL, None, None)
     if isinstance(k_cache, tuple):
         cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))

@@ -246,6 +246,7 @@ class TestWindowWithSharedInit:
 
         fake = SimpleNamespace(
             config=SimpleNamespace(shared_prefix_attention="auto"),
+            model_config=SimpleNamespace(sliding_window=None),
             attn_impl="pallas_decode", window_commit=True, block_size=16,
             MAX_SHARED_GROUPS=4,
         )
@@ -294,6 +295,7 @@ class TestWindowWithSharedInit:
 
         fake = SimpleNamespace(
             config=SimpleNamespace(shared_prefix_attention=True),
+            model_config=SimpleNamespace(sliding_window=None),
             attn_impl="pallas_decode", window_commit=True, block_size=16,
             MAX_SHARED_GROUPS=4,
         )
