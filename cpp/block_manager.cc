@@ -174,9 +174,25 @@ struct BlockManager {
 
   void deallocate(const int64_t* table, int64_t n) {
     for (int64_t i = n - 1; i >= 0; --i) {
+      if (table[i] < 0) continue;  // sliding-window eviction hole
       Block& b = blocks[table[i]];
       if (--b.ref_count == 0) free_block(table[i]);
     }
+  }
+
+  // Sliding-window rolling buffer: free blocks [0, last) of the table
+  // (ids >= 0 only). The caller replaces released entries with -1 holes;
+  // freed blocks keep their hash identity (their KV is real) and stay
+  // prefix-cache reusable until recycled. Returns the count freed.
+  int64_t release_below(const int64_t* table, int64_t last) {
+    int64_t freed = 0;
+    for (int64_t i = 0; i < last; ++i) {
+      if (table[i] < 0) continue;
+      Block& b = blocks[table[i]];
+      if (--b.ref_count == 0) free_block(table[i]);
+      ++freed;
+    }
+    return freed;
   }
 
   // Drop a block's prefix-cache identity. Used when freeing blocks whose KV
@@ -201,6 +217,7 @@ struct BlockManager {
   // null (wipe all — legacy behavior for callers without hit tracking).
   void undo_allocate(const int64_t* table, int64_t n, const uint8_t* hits) {
     for (int64_t i = n - 1; i >= 0; --i) {
+      if (table[i] < 0) continue;
       Block& b = blocks[table[i]];
       if (--b.ref_count == 0) {
         if (!hits || !hits[i]) wipe_identity(table[i]);
@@ -297,11 +314,13 @@ struct BlockManager {
     if (nb <= 0) return;
     int64_t start = nb - 1;
     while (start > 0) {
+      if (table[start - 1] < 0) break;  // eviction hole: chain boundary
       const Block& prev = blocks[table[start - 1]];
       if (prev.has_hash || prev.ref_count > 1) break;
       --start;
     }
     for (int64_t idx = start; idx < nb; ++idx) {
+      if (table[idx] < 0) continue;  // sliding-window eviction hole
       Block& b = blocks[table[idx]];
       if (b.ref_count != 1 || b.has_hash) continue;
       const int64_t* tok = tokens + idx * block_size;
@@ -311,8 +330,11 @@ struct BlockManager {
       // token of a decode window is the NEXT window's input, whose KV row
       // may never be written (preempt/abort/stop), so a block is hashable
       // only when covered by the first n_tokens-1 tokens.
+      // A hole before this block breaks the prefix chain: registering a
+      // truncated chain would alias a different prefix's identity.
       if (len == block_size && prefix_caching &&
-          (idx + 1) * block_size < n_tokens) {
+          (idx + 1) * block_size < n_tokens &&
+          !(idx > 0 && table[idx - 1] < 0)) {
         uint64_t prefix = 0;
         if (idx > 0) {
           const Block& prev = blocks[table[idx - 1]];
@@ -357,6 +379,10 @@ int64_t nvbm_allocate(void* h, const int64_t* tokens, int64_t n_tokens,
                       uint8_t* out_hits) {
   return static_cast<BlockManager*>(h)->allocate(tokens, n_tokens, out_table,
                                                  out_cached, out_hits);
+}
+
+int64_t nvbm_release_below(void* h, const int64_t* table, int64_t last) {
+  return static_cast<BlockManager*>(h)->release_below(table, last);
 }
 
 void nvbm_deallocate(void* h, const int64_t* table, int64_t n) {

@@ -66,6 +66,12 @@ class Config:
     # whole blocks) and OFF for bf16 caches (9.5k vs 6.4k the other way —
     # bf16 staging traffic outweighs the commit savings). True/False force.
     window_commit: object = "auto"
+    # Sliding-window rolling-buffer KV eviction: for models with local
+    # attention (Mistral/Qwen2 sliding_window), free KV blocks that fall
+    # entirely below every future query's attention window — per-sequence
+    # KV stays bounded at ~window size regardless of generation length.
+    # Purely a memory optimization (those keys are masked anyway).
+    sliding_window_kv_eviction: bool = True
     # Shared-prefix (cascade) decode attention: when scheduled sequences
     # share a committed block-table prefix (prefix-cache hits — e.g. a
     # common system prompt), attend the shared span ONCE for the whole

@@ -235,12 +235,40 @@ class BlockManager:
     # ------------------------------------------------------------------
     def deallocate(self, seq: Sequence) -> None:
         for bid in reversed(seq.block_table):
+            if bid < 0:
+                continue  # sliding-window eviction hole
             block = self.blocks[bid]
             block.ref_count -= 1
             if block.ref_count == 0:
                 self._free_block(bid)
         seq.block_table = []
         seq.num_cached_tokens = 0
+
+    def release_below_window(self, seq: Sequence, keep_from_pos: int) -> int:
+        """Sliding-window rolling buffer: free whole blocks covering only
+        positions < keep_from_pos — with local attention those keys can
+        never be attended again (window edges only move up), so per-
+        sequence KV stays bounded at ~window size regardless of generation
+        length (the capability Mistral's rolling-buffer cache provides).
+        Freed entries become -1 holes so the block table stays positionally
+        aligned (the decode kernels skip below-window blocks and never read
+        the holes); freed blocks keep their hash identity — their KV is
+        real — and stay prefix-cache reusable until recycled. Returns the
+        number of blocks freed."""
+        last = min(len(seq.block_table), keep_from_pos // self.block_size)
+        nfree = 0
+        for idx in range(last):
+            bid = seq.block_table[idx]
+            if bid < 0:
+                continue
+            block = self.blocks[bid]
+            block.ref_count -= 1
+            if block.ref_count == 0:
+                self._free_block(bid)
+            seq.block_table[idx] = -1
+            seq.prefix_hit_block_ids.discard(bid)
+            nfree += 1
+        return nfree
 
     def undo_allocate(self, seq: Sequence) -> None:
         """Deallocate a sequence whose prefill never ran (e.g. the scheduler
@@ -253,6 +281,8 @@ class BlockManager:
         them would evict valid cache entries on every token-budget undo
         (ADVICE r2 low)."""
         for bid in reversed(seq.block_table):
+            if bid < 0:
+                continue
             block = self.blocks[bid]
             block.ref_count -= 1
             if block.ref_count == 0:
@@ -307,12 +337,18 @@ class BlockManager:
         # the last block that already has a hash (or is shared).
         start = nb - 1
         while start > 0:
-            blk = self.blocks[seq.block_table[start - 1]]
+            prev_id = seq.block_table[start - 1]
+            if prev_id < 0:
+                break  # eviction hole: chain boundary
+            blk = self.blocks[prev_id]
             if blk.hash is not None or blk.ref_count > 1:
                 break
             start -= 1
         for idx in range(start, nb):
-            block = self.blocks[seq.block_table[idx]]
+            bid = seq.block_table[idx]
+            if bid < 0:
+                continue  # sliding-window eviction hole
+            block = self.blocks[bid]
             if block.ref_count != 1 or block.hash is not None:
                 continue
             tokens = seq.get_block_tokens(idx)
@@ -328,6 +364,10 @@ class BlockManager:
                 len(tokens) == self.block_size
                 and self.enable_prefix_caching
                 and (idx + 1) * self.block_size < len(seq)
+                # An eviction hole before this block breaks the prefix
+                # chain: registering with a truncated chain would alias a
+                # DIFFERENT prefix's identity.
+                and not (idx > 0 and seq.block_table[idx - 1] < 0)
             ):
                 if idx > 0:
                     prev = self.blocks[seq.block_table[idx - 1]]

@@ -100,6 +100,10 @@ class LLMEngine:
             config.eos_token_id = getattr(self.tokenizer, "eos_token_id", None)
         self.model_runner = ModelRunner(config, rng_seed=rng_seed)
         self.scheduler = Scheduler(config)
+        if config.sliding_window_kv_eviction:
+            self.scheduler.sliding_window = (
+                self.model_runner.model_config.sliding_window
+            )
         self.is_running = False
         # Async pipelined scheduling: up to `pipeline_depth` dispatches in
         # flight whose results have not been fetched (sampled tokens feed

@@ -80,6 +80,11 @@ class Scheduler:
         self.max_num_batched_tokens = config.max_num_batched_tokens
         self.eos_token_id = config.eos_token_id
         self.max_model_len = config.max_model_len
+        # Sliding-window rolling-buffer KV eviction: set by the engine from
+        # the MODEL config (the scheduler only sees the engine Config).
+        # None = full attention, keep everything.
+        self.sliding_window = None
+        self.num_window_evicted = 0
         # Stats accumulators.
         self.num_finished = 0
         self.num_preemptions = 0
@@ -294,6 +299,15 @@ class Scheduler:
                 finished.append(seq)
             elif seq.status == SequenceStatus.RUNNING:
                 self.block_manager.register_decode_progress(seq)
+                if self.sliding_window is not None:
+                    # Rolling buffer: whole blocks below every future
+                    # query's window edge (queries sit at >= len(seq)-1,
+                    # in-flight ones higher) can never be attended again.
+                    keep = len(seq) - self.sliding_window
+                    if keep >= self.block_manager.block_size:
+                        self.num_window_evicted += (
+                            self.block_manager.release_below_window(seq, keep)
+                        )
         return finished
 
     def finish_stopped(self, seq: Sequence, reason: str = "stop") -> None:

@@ -76,6 +76,8 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, I64P, ctypes.c_int64, I64P, I64P, U8P
         ]
         lib.nvbm_deallocate.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64]
+        lib.nvbm_release_below.restype = ctypes.c_int64
+        lib.nvbm_release_below.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64]
         lib.nvbm_undo_allocate.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64, U8P]
         lib.nvbm_reserve.restype = ctypes.c_int64
         lib.nvbm_reserve.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64]
@@ -151,6 +153,22 @@ class NativeBlockManager:
             self._lib.nvbm_deallocate(self._h, _arr(seq.block_table), len(seq.block_table))
         seq.block_table = []
         seq.num_cached_tokens = 0
+
+    def release_below_window(self, seq, keep_from_pos: int) -> int:
+        """Sliding-window rolling buffer (see
+        engine.block_manager.BlockManager.release_below_window)."""
+        last = min(len(seq.block_table), keep_from_pos // self.block_size)
+        if last <= 0:
+            return 0
+        freed = self._lib.nvbm_release_below(
+            self._h, _arr(seq.block_table), last
+        )
+        hit_ids = getattr(seq, "prefix_hit_block_ids", set())
+        for idx in range(last):
+            if seq.block_table[idx] >= 0:
+                hit_ids.discard(seq.block_table[idx])
+                seq.block_table[idx] = -1
+        return int(freed)
 
     def undo_allocate(self, seq) -> None:
         """Deallocate a never-prefilled sequence, wiping the hash identity

@@ -113,6 +113,90 @@ def test_greedy_matches_hf_mistral(tmp_path):
     assert got_nosw != ref, "window too small to matter — weak test"
 
 
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_release_below_window(backend):
+    """Rolling-buffer eviction: blocks fully below the window free (shared
+    ones only when their refcount drops), the table keeps -1 holes, and
+    deallocate / register_decode_progress tolerate the holes."""
+    from nanovllm_tpu.native import create_block_manager, native_available
+
+    if backend == "native" and not native_available():
+        pytest.skip("native block manager unavailable")
+    bm = create_block_manager(
+        num_blocks=16, block_size=4, enable_prefix_caching=True,
+        backend=backend,
+    )
+
+    class FakeSeq:
+        seq_id = 1
+        token_ids = list(range(100, 118))  # 18 tokens -> 5 blocks
+        block_table: list = []
+        num_cached_tokens = 0
+        prefix_hit_block_ids: set = set()
+
+        def __len__(self):
+            return len(self.token_ids)
+
+        def num_blocks(self):
+            return 5
+
+        def total_len(self):
+            return 18
+
+        def get_block_tokens(self, idx):
+            return self.token_ids[idx * 4:(idx + 1) * 4]
+
+    seq = FakeSeq()
+    bm.allocate(seq)
+    free0 = bm.num_free_blocks()
+    # Window keeps positions >= 9: blocks 0 and 1 (positions 0..7) free.
+    freed = bm.release_below_window(seq, keep_from_pos=9)
+    assert freed == 2
+    assert seq.block_table[0] == -1 and seq.block_table[1] == -1
+    assert all(b >= 0 for b in seq.block_table[2:])
+    assert bm.num_free_blocks() == free0 + 2
+    # Idempotent and monotone.
+    assert bm.release_below_window(seq, keep_from_pos=9) == 0
+    # Progress registration and deallocation tolerate the holes.
+    bm.register_decode_progress(seq)
+    bm.deallocate(seq)
+    assert bm.num_free_blocks() == 16
+
+
+def test_eviction_bounds_kv_and_preserves_outputs(tmp_path):
+    """With sliding window + eviction, a generation far past the window
+    completes inside a block pool too small for its full KV — and produces
+    exactly the same tokens as the no-eviction engine (given enough pool)."""
+    d = tmp_path / "m"
+    d.mkdir()
+    with open(d / "config.json", "w") as f:
+        json.dump(dict(model_type="mistral", **TINY, sliding_window=SW), f)
+    rng = np.random.RandomState(5)
+    prompt = rng.randint(0, TINY["vocab_size"], size=20).tolist()
+    n_new = 44  # total 64 positions = 4 blocks of 16
+
+    big = _our_engine(str(d), num_kvcache_blocks=32)
+    ref = _greedy(big, prompt, n_new)
+    assert big.scheduler.num_window_evicted > 0
+
+    # Pool of 3 blocks (48 positions) < the 4+ the sequence spans: only
+    # the rolling buffer makes this complete without thrashing.
+    small = _our_engine(str(d), num_kvcache_blocks=3, max_model_len=80)
+    got = _greedy(small, prompt, n_new)
+    assert got == ref
+    assert small.scheduler.num_window_evicted > 0
+    st = small.get_stats()
+    assert st.memory.free_blocks == st.memory.total_blocks
+
+    # Eviction off: same outputs when the pool is big enough (the mask
+    # already hides the kept blocks).
+    off = _our_engine(str(d), num_kvcache_blocks=32,
+                      sliding_window_kv_eviction=False)
+    got_off = _greedy(off, prompt, n_new)
+    assert got_off == ref
+    assert off.scheduler.num_window_evicted == 0
+
+
 @pytest.mark.parametrize("kvd", ["auto", "int8"])
 def test_sliding_pallas_tracks_oracle(tmp_path, kvd):
     """Pallas kernels (interpret mode) vs the jnp oracle engine with a
