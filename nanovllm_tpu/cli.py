@@ -218,6 +218,18 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_api(args) -> int:
+    """OpenAI-compatible HTTP API (POST /v1/completions,
+    /v1/chat/completions with SSE streaming, GET /v1/models, /health,
+    /stats). Beyond-parity surface: the reference is library-only."""
+    from nanovllm_tpu.server import serve
+
+    engine = _build_engine(args)
+    serve(engine, host=args.host, port=args.port,
+          model_id=args.served_model_name)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="nanovllm_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -251,6 +263,13 @@ def main(argv=None) -> int:
     s.add_argument("--platform", default=None,
                    help="override jax platform (e.g. cpu for local testing)")
     s.set_defaults(fn=cmd_serve)
+
+    a = sub.add_parser("api", help="OpenAI-compatible HTTP server")
+    _add_engine_args(a)
+    a.add_argument("--host", default="0.0.0.0")
+    a.add_argument("--port", type=int, default=8000)
+    a.add_argument("--served-model-name", default=None)
+    a.set_defaults(fn=cmd_api)
 
     i = sub.add_parser("info", help="dump engine/model config and stats")
     _add_engine_args(i)

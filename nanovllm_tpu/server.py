@@ -1,0 +1,396 @@
+"""OpenAI-compatible HTTP serving front end (stdlib only).
+
+The reference is an in-process library with no server or RPC layer
+(SURVEY §1: "no server/CLI binary, no RPC layer"); this module is
+beyond-parity surface so the engine can be consumed the way serving
+engines actually are: POST /v1/completions and /v1/chat/completions
+(with SSE streaming), GET /v1/models, /health, /stats.
+
+Threading model: `http.server.ThreadingHTTPServer` handlers run on
+worker threads, but the engine is single-threaded by design (one async
+serving loop, SURVEY §5 race-detection note). All engine access is
+therefore funneled through ONE `EngineWorker` thread: handlers submit
+(prompt, params, reply-queue) commands and read token deltas off their
+reply queue; the worker drains submissions, calls `engine.step()`, and
+fans out per-request deltas — the same incremental-detokenization
+holdback logic as `LLMEngine.generate_stream` (llm_engine.py:421).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+from nanovllm_tpu.engine.sampling_params import SamplingParams
+from nanovllm_tpu.engine.sequence import SequenceStatus
+
+logger = logging.getLogger(__name__)
+
+_DONE = object()
+
+
+class _Tracked:
+    __slots__ = ("seq", "reply", "emitted", "prev_text")
+
+    def __init__(self, seq, reply):
+        self.seq = seq
+        self.reply = reply
+        self.emitted = 0
+        self.prev_text = ""
+
+
+class EngineWorker(threading.Thread):
+    """The single thread allowed to touch the engine."""
+
+    def __init__(self, engine):
+        super().__init__(daemon=True, name="nanovllm-engine")
+        self.engine = engine
+        self.commands: "queue.Queue" = queue.Queue()
+        self.tracked: List[_Tracked] = []
+        self._stop = threading.Event()
+
+    def submit(self, prompt: str, params: SamplingParams) -> "queue.Queue":
+        """Called from handler threads. Returns the reply queue; the first
+        item is either the live Sequence or an Exception (validation)."""
+        reply: "queue.Queue" = queue.Queue()
+        self.commands.put(("submit", prompt, params, reply))
+        return reply
+
+    def abort(self, seq_id: int) -> None:
+        self.commands.put(("abort", seq_id, None, None))
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self.commands.put(("noop", None, None, None))
+
+    # -- worker thread ----------------------------------------------------
+    def run(self) -> None:
+        while not self._stop.is_set():
+            self._drain_commands(block=not self.tracked)
+            if self._stop.is_set():
+                break
+            if self.tracked and self.engine.has_unfinished():
+                try:
+                    self.engine.step()
+                except Exception:
+                    logger.exception("engine step failed")
+                    for t in self.tracked:
+                        t.reply.put(RuntimeError("engine step failed"))
+                        t.reply.put(_DONE)
+                    self.tracked.clear()
+                    continue
+            self._emit_deltas()
+
+    def _drain_commands(self, block: bool) -> None:
+        try:
+            cmd = self.commands.get(timeout=0.2 if block else 0)
+        except queue.Empty:
+            return
+        while True:
+            kind, a, b, reply = cmd
+            if kind == "submit":
+                try:
+                    seq = self.engine.add_request(a, b)
+                    self.tracked.append(_Tracked(seq, reply))
+                    reply.put(seq)
+                except Exception as e:
+                    reply.put(e)
+            elif kind == "abort":
+                try:
+                    self.engine.abort_request(a)
+                except Exception:
+                    logger.exception("abort failed")
+            try:
+                cmd = self.commands.get_nowait()
+            except queue.Empty:
+                return
+
+    def _emit_deltas(self) -> None:
+        still = []
+        for t in self.tracked:
+            seq = t.seq
+            done_status = seq.status in (
+                SequenceStatus.FINISHED, SequenceStatus.ERROR
+            )
+            while t.emitted < seq.num_completion_tokens:
+                t.emitted += 1
+                last = (
+                    t.emitted == seq.num_completion_tokens and done_status
+                )
+                full = self.engine.tokenizer.decode(
+                    seq.completion_token_ids[: t.emitted]
+                )
+                if seq.stop_text_end is not None:
+                    full = full[: seq.stop_text_end]
+                stable = full
+                while not last and stable.endswith("�"):
+                    stable = stable[:-1]
+                delta = (
+                    stable[len(t.prev_text):]
+                    if stable.startswith(t.prev_text) else stable
+                )
+                t.prev_text = stable
+                t.reply.put((delta, t.emitted, None))
+            if done_status:
+                t.reply.put(
+                    (
+                        "",
+                        t.emitted,
+                        seq.finish_reason
+                        or ("error" if seq.status == SequenceStatus.ERROR
+                            else "stop"),
+                    )
+                )
+                t.reply.put(_DONE)
+            else:
+                still.append(t)
+        self.tracked = still
+
+
+def _build_params(body: dict) -> SamplingParams:
+    stop = body.get("stop")
+    if isinstance(stop, str):
+        stop = [stop]
+    params = SamplingParams(
+        temperature=float(body.get("temperature", 1.0)),
+        max_tokens=int(body.get("max_tokens", 16)),
+        top_p=body.get("top_p"),
+        top_k=body.get("top_k"),
+        seed=body.get("seed"),
+        frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+        presence_penalty=float(body.get("presence_penalty", 0.0)),
+        repetition_penalty=body.get("repetition_penalty"),
+        stop=stop,
+        logprobs=(
+            int(body["top_logprobs"]) if body.get("top_logprobs")
+            else (0 if body.get("logprobs") else None)
+        ),
+        ignore_eos=bool(body.get("ignore_eos", False)),
+    )
+    params.validate()
+    return params
+
+
+def _chat_to_prompt(tokenizer, messages: List[dict]) -> str:
+    tpl = getattr(tokenizer, "apply_chat_template", None)
+    if tpl is not None:
+        try:
+            return tpl(messages, tokenize=False, add_generation_prompt=True)
+        except Exception:
+            pass
+    # Fallback template for tokenizers without a chat template.
+    lines = [f"{m.get('role', 'user')}: {m.get('content', '')}"
+             for m in messages]
+    lines.append("assistant:")
+    return "\n".join(lines)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    server_version = "nanovllm-tpu"
+
+    # Injected by make_server: worker, model_id
+    worker: EngineWorker = None
+    model_id: str = "nanovllm"
+
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        logger.debug("%s - %s", self.address_string(), fmt % args)
+
+    # -- helpers ----------------------------------------------------------
+    def _json(self, code: int, obj: dict) -> None:
+        data = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _error(self, code: int, message: str, etype: str = "invalid_request_error") -> None:
+        self._json(code, {"error": {"message": message, "type": etype}})
+
+    def _read_body(self) -> Optional[dict]:
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+        except Exception:
+            self._error(400, "invalid JSON body")
+            return None
+
+    # -- routes -----------------------------------------------------------
+    def do_GET(self):
+        eng = self.worker.engine
+        if self.path == "/v1/models":
+            self._json(200, {"object": "list", "data": [
+                {"id": self.model_id, "object": "model",
+                 "owned_by": "nanovllm-tpu"}]})
+        elif self.path == "/health":
+            h = eng.health_check()
+            self._json(200 if h.healthy else 503, {
+                "healthy": h.healthy, "memory_utilization": h.memory_utilization,
+            })
+        elif self.path == "/stats":
+            st = eng.get_stats()
+            self._json(200, {
+                "running": st.scheduler.num_running,
+                "waiting": st.scheduler.num_waiting,
+                "finished": st.scheduler.num_finished,
+                "preemptions": st.scheduler.num_preemptions,
+                "block_utilization": st.scheduler.block_manager.utilization,
+                "prefix_cache_hit_rate":
+                    st.scheduler.block_manager.cache_efficiency,
+            })
+        else:
+            self._error(404, f"no route {self.path}")
+
+    def do_POST(self):
+        if self.path == "/v1/completions":
+            body = self._read_body()
+            if body is None:
+                return
+            prompt = body.get("prompt", "")
+            if isinstance(prompt, list):
+                if len(prompt) != 1:
+                    return self._error(400, "batched prompts unsupported; send one")
+                prompt = prompt[0]
+            self._serve_generation(body, prompt, chat=False)
+        elif self.path == "/v1/chat/completions":
+            body = self._read_body()
+            if body is None:
+                return
+            messages = body.get("messages")
+            if not isinstance(messages, list) or not messages:
+                return self._error(400, "messages must be a non-empty list")
+            prompt = _chat_to_prompt(self.worker.engine.tokenizer, messages)
+            self._serve_generation(body, prompt, chat=True)
+        else:
+            self._error(404, f"no route {self.path}")
+
+    # -- generation -------------------------------------------------------
+    def _serve_generation(self, body: dict, prompt: str, chat: bool) -> None:
+        try:
+            params = _build_params(body)
+        except (ValueError, TypeError) as e:
+            return self._error(400, str(e))
+        if int(body.get("n", 1)) != 1:
+            return self._error(400, "n > 1 unsupported")
+        reply = self.worker.submit(prompt, params)
+        first = reply.get()
+        if isinstance(first, Exception):
+            return self._error(400, str(first))
+        seq = first
+        rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:24]
+        created = int(time.time())
+        if body.get("stream"):
+            self._stream_sse(reply, seq, rid, created, chat)
+        else:
+            self._respond_once(reply, seq, rid, created, chat)
+
+    def _respond_once(self, reply, seq, rid, created, chat) -> None:
+        text, finish = [], "stop"
+        while True:
+            item = reply.get()
+            if item is _DONE:
+                break
+            if isinstance(item, Exception):
+                return self._error(500, str(item), "server_error")
+            delta, _, reason = item
+            text.append(delta)
+            if reason is not None:
+                finish = reason
+        full = "".join(text)
+        usage = {
+            "prompt_tokens": seq.num_prompt_tokens,
+            "completion_tokens": seq.num_completion_tokens,
+            "total_tokens": seq.num_prompt_tokens + seq.num_completion_tokens,
+        }
+        if chat:
+            choice = {"index": 0, "finish_reason": finish,
+                      "message": {"role": "assistant", "content": full}}
+            obj = "chat.completion"
+        else:
+            choice = {"index": 0, "finish_reason": finish, "text": full}
+            obj = "text_completion"
+        self._json(200, {"id": rid, "object": obj, "created": created,
+                         "model": self.model_id, "choices": [choice],
+                         "usage": usage})
+
+    def _stream_sse(self, reply, seq, rid, created, chat) -> None:
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def send_chunk(payload: str) -> None:
+            data = payload.encode()
+            self.wfile.write(f"{len(data):x}\r\n".encode())
+            self.wfile.write(data + b"\r\n")
+
+        obj = "chat.completion.chunk" if chat else "text_completion"
+        try:
+            if chat:
+                send_chunk("data: " + json.dumps({
+                    "id": rid, "object": obj, "created": created,
+                    "model": self.model_id,
+                    "choices": [{"index": 0, "finish_reason": None,
+                                 "delta": {"role": "assistant", "content": ""}}],
+                }) + "\n\n")
+            while True:
+                item = reply.get()
+                if item is _DONE:
+                    break
+                if isinstance(item, Exception):
+                    break
+                delta, _, reason = item
+                if delta == "" and reason is None:
+                    continue
+                if chat:
+                    choice = {"index": 0, "finish_reason": reason,
+                              "delta": ({"content": delta} if reason is None
+                                        else {})}
+                else:
+                    choice = {"index": 0, "finish_reason": reason,
+                              "text": delta}
+                send_chunk("data: " + json.dumps({
+                    "id": rid, "object": obj, "created": created,
+                    "model": self.model_id, "choices": [choice],
+                }) + "\n\n")
+            send_chunk("data: [DONE]\n\n")
+            self.wfile.write(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError):
+            # Client hung up mid-stream: cancel the request, free blocks.
+            self.worker.abort(seq.seq_id)
+
+
+def make_server(engine, host: str = "0.0.0.0", port: int = 8000,
+                model_id: Optional[str] = None):
+    """Returns (ThreadingHTTPServer, EngineWorker) — caller starts/stops.
+
+    The worker thread is started here; `server.serve_forever()` blocks (run
+    it on the main thread or another thread). Shut down with
+    `server.shutdown(); worker.shutdown()`."""
+    worker = EngineWorker(engine)
+    worker.start()
+    handler = type("Handler", (_Handler,), {
+        "worker": worker,
+        "model_id": model_id or engine.config.model_path.rstrip("/").split("/")[-1],
+    })
+    server = ThreadingHTTPServer((host, port), handler)
+    return server, worker
+
+
+def serve(engine, host: str = "0.0.0.0", port: int = 8000,
+          model_id: Optional[str] = None) -> None:
+    server, worker = make_server(engine, host, port, model_id)
+    logger.info("serving OpenAI-compatible API on %s:%d", host, port)
+    try:
+        server.serve_forever()
+    finally:
+        worker.shutdown()
+        server.server_close()

@@ -1,0 +1,151 @@
+"""OpenAI-compatible HTTP server (nanovllm_tpu/server.py): completions,
+chat completions, SSE streaming, stop strings, error handling, health and
+stats — all against a live in-process server on a tiny random model."""
+
+import http.client
+import json
+import threading
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    from nanovllm_tpu import Config
+    from nanovllm_tpu.engine.llm_engine import LLMEngine
+    from nanovllm_tpu.models.qwen3 import Qwen3Config, init_params
+    from nanovllm_tpu.server import make_server
+    from nanovllm_tpu.utils.loader import save_qwen3_weights_hf
+
+    d = tmp_path_factory.mktemp("server_model")
+    cfg_dict = dict(
+        model_type="qwen3", vocab_size=256, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, max_position_embeddings=512,
+        tie_word_embeddings=False,
+    )
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg_dict, f)
+    mc = Qwen3Config.from_hf(cfg_dict)
+    save_qwen3_weights_hf(init_params(mc, jax.random.PRNGKey(42), jnp.float32),
+                          mc, str(d))
+    engine = LLMEngine(Config(
+        model_path=str(d), dtype="float32", kvcache_block_size=16,
+        num_kvcache_blocks=64, max_num_seqs=8, max_model_len=256,
+        decode_window=4,
+    ))
+    server, worker = make_server(engine, host="127.0.0.1", port=0,
+                                 model_id="tiny-test")
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server.server_address
+    server.shutdown()
+    worker.shutdown()
+    server.server_close()
+
+
+def _request(addr, method, path, body=None):
+    conn = http.client.HTTPConnection(*addr, timeout=300)
+    conn.request(method, path,
+                 body=json.dumps(body) if body is not None else None,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def test_models_and_health(served):
+    code, data = _request(served, "GET", "/v1/models")
+    assert code == 200
+    models = json.loads(data)
+    assert models["data"][0]["id"] == "tiny-test"
+    code, data = _request(served, "GET", "/health")
+    assert code == 200 and json.loads(data)["healthy"]
+
+
+def test_completions(served):
+    code, data = _request(served, "POST", "/v1/completions", {
+        "prompt": "hello world", "max_tokens": 6, "temperature": 0.0,
+        "ignore_eos": True,
+    })
+    assert code == 200, data
+    out = json.loads(data)
+    assert out["object"] == "text_completion"
+    assert out["choices"][0]["finish_reason"] == "length"
+    assert isinstance(out["choices"][0]["text"], str)
+    assert out["usage"]["completion_tokens"] == 6
+    assert out["usage"]["prompt_tokens"] == len(b"hello world")
+
+
+def test_completions_deterministic_with_seed(served):
+    body = {"prompt": "abc", "max_tokens": 5, "temperature": 0.8,
+            "seed": 7, "ignore_eos": True}
+    outs = [json.loads(_request(served, "POST", "/v1/completions", body)[1])
+            ["choices"][0]["text"] for _ in range(2)]
+    assert outs[0] == outs[1]
+
+
+def test_chat_completions(served):
+    code, data = _request(served, "POST", "/v1/chat/completions", {
+        "messages": [{"role": "system", "content": "be brief"},
+                     {"role": "user", "content": "hi"}],
+        "max_tokens": 4, "temperature": 0.0, "ignore_eos": True,
+    })
+    assert code == 200, data
+    out = json.loads(data)
+    assert out["object"] == "chat.completion"
+    msg = out["choices"][0]["message"]
+    assert msg["role"] == "assistant" and isinstance(msg["content"], str)
+
+
+def test_streaming_sse(served):
+    conn = http.client.HTTPConnection(*served, timeout=300)
+    conn.request("POST", "/v1/completions", body=json.dumps({
+        "prompt": "stream me", "max_tokens": 5, "temperature": 0.0,
+        "stream": True, "ignore_eos": True,
+    }), headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "text/event-stream"
+    raw = resp.read().decode()
+    conn.close()
+    events = [ln[len("data: "):] for ln in raw.splitlines()
+              if ln.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    payloads = [json.loads(e) for e in events[:-1]]
+    # finish_reason arrives on the last payload; deltas on the others.
+    assert payloads[-1]["choices"][0]["finish_reason"] == "length"
+    text = "".join(p["choices"][0]["text"] for p in payloads)
+    assert isinstance(text, str)
+
+
+def test_bad_requests(served):
+    code, data = _request(served, "POST", "/v1/completions", {
+        "prompt": "x", "temperature": -2.0,
+    })
+    assert code == 400 and "error" in json.loads(data)
+    code, _ = _request(served, "POST", "/v1/chat/completions", {"messages": []})
+    assert code == 400
+    code, _ = _request(served, "GET", "/nope")
+    assert code == 404
+
+
+def test_stats_and_concurrency(served):
+    import concurrent.futures as cf
+
+    def one(i):
+        return _request(served, "POST", "/v1/completions", {
+            "prompt": f"req {i}", "max_tokens": 4, "temperature": 0.0,
+            "ignore_eos": True,
+        })[0]
+
+    with cf.ThreadPoolExecutor(4) as ex:
+        codes = list(ex.map(one, range(4)))
+    assert codes == [200] * 4
+    code, data = _request(served, "GET", "/stats")
+    assert code == 200
+    st = json.loads(data)
+    assert st["finished"] >= 4 and st["running"] == 0
