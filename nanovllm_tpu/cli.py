@@ -7,6 +7,7 @@ The reference declares clap/config deps but ships no binary
   python -m nanovllm_tpu chat --model DIR            (interactive REPL)
   python -m nanovllm_tpu bench --model DIR           (decode throughput)
   python -m nanovllm_tpu info --model DIR            (config + stats dump)
+  python -m nanovllm_tpu api --model DIR --port 8000 (OpenAI-compatible HTTP)
 """
 
 from __future__ import annotations
