@@ -100,10 +100,14 @@ class LLMEngine:
             config.eos_token_id = getattr(self.tokenizer, "eos_token_id", None)
         self.model_runner = ModelRunner(config, rng_seed=rng_seed)
         self.scheduler = Scheduler(config)
-        if config.sliding_window_kv_eviction:
-            self.scheduler.sliding_window = (
-                self.model_runner.model_config.sliding_window
-            )
+        mc = self.model_runner.model_config
+        if (
+            config.sliding_window_kv_eviction
+            # Rolling-buffer eviction needs EVERY layer local: one global
+            # layer (Gemma-2 alternation) keeps all KV live.
+            and mc.layer_types is None
+        ):
+            self.scheduler.sliding_window = mc.sliding_window
         self.is_running = False
         # Async pipelined scheduling: up to `pipeline_depth` dispatches in
         # flight whose results have not been fetched (sampled tokens feed

@@ -67,6 +67,26 @@ class Qwen3Config:
     # only the last `sliding_window` keys (HF semantics: key visible iff
     # q_pos - k_pos < sliding_window, plus causal). None = full attention.
     sliding_window: Optional[int] = None
+    # Per-layer attention kinds ("sliding_attention" / "full_attention"),
+    # for architectures that ALTERNATE local and global layers (Gemma 2:
+    # period 2). None = uniform (sliding_window applies to every layer).
+    layer_types: Optional[tuple] = None
+    # --- Gemma-family switches ---
+    # RMSNorm multiplies by (1 + weight) instead of weight.
+    rms_unit_offset: bool = False
+    # MLP activation: "silu" (SwiGLU) or "gelu_tanh" (Gemma's GeGLU).
+    hidden_act: str = "silu"
+    # tanh caps on attention scores / final logits (Gemma 2).
+    attn_logit_softcap: Optional[float] = None
+    final_logit_softcap: Optional[float] = None
+    # Attention scale = query_pre_attn_scalar**-0.5 when set (Gemma 2 uses
+    # a constant decoupled from head_dim); None = head_dim**-0.5.
+    query_pre_attn_scalar: Optional[float] = None
+    # Scale embeddings by sqrt(hidden_size) (Gemma).
+    scale_embedding: bool = False
+    # Sandwich norms: extra RMSNorms applied to each block's OUTPUT before
+    # the residual add (Gemma 2's post_attention / post_feedforward norms).
+    use_post_norms: bool = False
 
     @classmethod
     def from_hf(cls, d: dict, **overrides) -> "Qwen3Config":
@@ -81,6 +101,19 @@ class Qwen3Config:
         sw = d.get("sliding_window")
         if not d.get("use_sliding_window", True):
             sw = None
+        # Newer HF configs carry explicit per-layer kinds; collapse the
+        # uniform cases (all-full -> no window, all-sliding -> uniform).
+        lt = d.get("layer_types")
+        if lt and sw:
+            if all(t == "full_attention" for t in lt):
+                sw, lt = None, None
+            elif all(t == "sliding_attention" for t in lt):
+                lt = None
+            else:
+                lt = tuple(lt)
+        else:
+            lt = None
+        overrides.setdefault("layer_types", lt)
         return cls(
             rope_scaling=dict(scaling) if stype == "yarn" else None,
             **overrides,
@@ -109,6 +142,38 @@ class Qwen3Config:
     def from_hf_qwen2(cls, d: dict) -> "Qwen3Config":
         """Qwen2: no q/k norm, qkv biases."""
         return cls.from_hf(d, use_qk_norm=False, attention_bias=True)
+
+    @classmethod
+    def from_hf_gemma2(cls, d: dict) -> "Qwen3Config":
+        """Gemma 2 (HF transformers Gemma2ForCausalLM): alternating
+        sliding/full attention layers, (1+w) RMSNorm, GeGLU, sqrt(D)
+        embedding scale, sandwich norms, tanh softcaps on attention scores
+        and final logits, decoupled attention scale."""
+        act = d.get("hidden_activation", d.get("hidden_act",
+                                               "gelu_pytorch_tanh"))
+        d = dict(d)
+        # HF omits defaults from saved configs; Gemma 2's default is TIED
+        # embeddings (the generic parser's fallback is False).
+        d.setdefault("tie_word_embeddings", True)
+        if "layer_types" not in d and d.get("sliding_window"):
+            # Older configs omit layer_types; Gemma 2's rule is even layers
+            # sliding (HF: is_sliding = not bool(layer_idx % 2)).
+            d["layer_types"] = [
+                "sliding_attention" if i % 2 == 0 else "full_attention"
+                for i in range(d["num_hidden_layers"])
+            ]
+        return cls.from_hf(
+            d,
+            use_qk_norm=False,
+            attention_bias=bool(d.get("attention_bias", False)),
+            rms_unit_offset=True,
+            hidden_act="gelu_tanh" if "gelu" in act else "silu",
+            attn_logit_softcap=d.get("attn_logit_softcapping"),
+            final_logit_softcap=d.get("final_logit_softcapping"),
+            query_pre_attn_scalar=d.get("query_pre_attn_scalar"),
+            scale_embedding=True,
+            use_post_norms=True,
+        )
 
     def validate(self, tensor_parallel_size: int = 1) -> None:
         """Divisibility vs TP (reference: qwen3.rs:106-124)."""
@@ -159,11 +224,12 @@ def init_params(cfg: Qwen3Config, rng: jax.Array, dtype=jnp.bfloat16,
         return t(name, jax.random.normal(key, shape, dtype)
                  / jnp.sqrt(fan_in).astype(dtype))
 
+    ln_init = jnp.zeros if cfg.rms_unit_offset else jnp.ones
     layers = {
-        "input_ln": jnp.ones((L, D), dtype),
+        "input_ln": ln_init((L, D), dtype),
         "qkv": w("qkv", ks[1], (L, D, (Hq + 2 * Hkv) * Dh), D),
         "o": w("o", ks[2], (L, Hq * Dh, D), Hq * Dh),
-        "post_ln": jnp.ones((L, D), dtype),
+        "post_ln": ln_init((L, D), dtype),
         "gate_up": w("gate_up", ks[3], (L, D, 2 * I), D),
         "down": w("down", ks[4], (L, I, D), I),
     }
@@ -172,10 +238,17 @@ def init_params(cfg: Qwen3Config, rng: jax.Array, dtype=jnp.bfloat16,
         layers["k_norm"] = jnp.ones((L, Dh), dtype)
     if cfg.attention_bias:
         layers["qkv_bias"] = jnp.zeros((L, (Hq + 2 * Hkv) * Dh), dtype)
+    if cfg.use_post_norms:
+        # Gemma-2 sandwich norms: applied to each block's OUTPUT before
+        # the residual add. With rms_unit_offset the identity init is 0
+        # (weight enters as 1 + w).
+        zero = jnp.zeros if cfg.rms_unit_offset else jnp.ones
+        layers["post_attn_ln"] = zero((L, D), dtype)
+        layers["post_ff_ln"] = zero((L, D), dtype)
     params = {
         "embedding": w("embedding", ks[0], (V, D), D),
         "layers": layers,
-        "final_ln": jnp.ones((D,), dtype),
+        "final_ln": ln_init((D,), dtype),
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w("lm_head", ks[5], (V, D), D)
@@ -211,12 +284,17 @@ def create_kv_caches(
 # Building blocks (fp32 numerics matching HF)
 # ---------------------------------------------------------------------------
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
-    """fp32 compute, cast back (reference: src/layers/layernorm.rs:58-75)."""
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float,
+             unit_offset: bool = False) -> jax.Array:
+    """fp32 compute, cast back (reference: src/layers/layernorm.rs:58-75).
+    unit_offset: Gemma convention — multiply by (1 + weight)."""
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     normed = xf * jax.lax.rsqrt(var + eps)
-    return (weight.astype(jnp.float32) * normed).astype(x.dtype)
+    wf = weight.astype(jnp.float32)
+    if unit_offset:
+        wf = 1.0 + wf
+    return (wf * normed).astype(x.dtype)
 
 
 def rope_params(cfg: "Qwen3Config"):
@@ -344,22 +422,28 @@ def forward(
     argmax token ids [S] instead — the fused lm_head+argmax path for
     all-greedy batches (the logits never materialize in HBM)."""
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    scale = Dh ** -0.5
+    scale = (cfg.query_pre_attn_scalar or Dh) ** -0.5
+    softcap = cfg.attn_logit_softcap
+    uo = cfg.rms_unit_offset
 
     from nanovllm_tpu.ops.quant import (
         embedding_lookup, greedy_head, lm_head_logits,
     )
 
     h = embedding_lookup(params["embedding"], token_ids)  # [T, D]
+    if cfg.scale_embedding:
+        # Gemma: embeddings scaled by sqrt(D), normalizer cast to the
+        # embedding dtype first (HF semantics).
+        h = h * jnp.asarray(cfg.hidden_size ** 0.5, h.dtype)
 
     # The stacked KV caches ride in the scan CARRY (not xs/ys): XLA keeps the
     # per-layer scatter in place on the donated buffers, where xs/ys would
     # round-trip the full multi-GB cache through fresh copies every step.
-    def layer_step(carry, lp):
+    def layer_step(carry, lp, sw):
         h, kc, vc, layer_idx = carry
 
         # Attention block (reference: qwen3.rs:208-240)
-        x = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
+        x = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, uo)
         qkv = matmul(x, lp["qkv"], mesh=mesh, tp="column")  # [T, (Hq+2Hkv)*Dh]
         if cfg.attention_bias:
             qkv = qkv + lp["qkv_bias"]
@@ -370,8 +454,8 @@ def forward(
         v = v.reshape(T, Hkv, Dh)
         if cfg.use_qk_norm:
             # Per-head-dim q/k norm BEFORE RoPE (HF Qwen3Attention).
-            q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
-            k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+            q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps, uo)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps, uo)
         # RoPE with the config's long-context scheme: linear base scaling
         # (reference parity, rotary_embedding.rs:122-133) or YaRN
         # (per-dim interpolation ramp + mscale — Qwen3's >32k mode).
@@ -418,7 +502,8 @@ def forward(
                     layer_idx, meta.block_tables, window["start_lens"],
                     window["substep"], skip, init, scale=scale,
                     max_rem=window.get("max_rem"),
-                    sliding_window=cfg.sliding_window, interpret=interp,
+                    sliding_window=sw, logit_softcap=softcap,
+                    interpret=interp,
                 )
             else:
                 from nanovllm_tpu.ops.pallas.paged_attention import (
@@ -439,7 +524,8 @@ def forward(
                     layer_idx, meta.block_tables, window["start_lens"],
                     window["substep"], skip, init, scale=scale,
                     max_rem=window.get("max_rem"),
-                    sliding_window=cfg.sliding_window, interpret=interp,
+                    sliding_window=sw, logit_softcap=softcap,
+                    interpret=interp,
                 )
         elif attn_impl == "pallas_decode":
             # Attention reads the caches + an in-VMEM patch of this step's
@@ -458,7 +544,8 @@ def forward(
                 attn = sharded_paged_attention_decode(
                     mesh, q, k, v, kc, vc, layer_idx, meta.block_tables,
                     meta.context_lens, scale=scale,
-                    sliding_window=cfg.sliding_window, interpret=interp,
+                    sliding_window=sw, logit_softcap=softcap,
+                    interpret=interp,
                 )
                 kc, vc = sharded_kv_cache_commit(
                     mesh, k, v, kc, vc, layer_idx, meta.block_tables,
@@ -473,7 +560,8 @@ def forward(
                 attn = paged_attention_decode(
                     q, k, v, kc, vc, layer_idx, meta.block_tables,
                     meta.context_lens, scale=scale,
-                    sliding_window=cfg.sliding_window, interpret=interp,
+                    sliding_window=sw, logit_softcap=softcap,
+                    interpret=interp,
                 )
                 kc, vc = kv_cache_commit(
                     k, v, kc, vc, layer_idx, meta.block_tables,
@@ -517,7 +605,8 @@ def forward(
                     mesh, q, kc, vc, layer_idx, meta.block_tables,
                     meta.context_lens, meta.q_gather, meta.q_positions,
                     meta.token_seq, meta.token_qcol, scale=scale,
-                    sliding_window=cfg.sliding_window, interpret=interp,
+                    sliding_window=sw, logit_softcap=softcap,
+                    interpret=interp,
                 )
             else:
                 kc, vc = prefill_kv_commit(
@@ -529,35 +618,83 @@ def forward(
                     q, kc, vc, layer_idx, meta.block_tables, meta.context_lens,
                     meta.q_gather, meta.q_positions, meta.token_seq,
                     meta.token_qcol, scale=scale,
-                    sliding_window=cfg.sliding_window, interpret=interp,
+                    sliding_window=sw, logit_softcap=softcap,
+                    interpret=interp,
                 )
         else:
             kc = kv_cache_write(kc, k, meta.slot_mapping, layer_idx)
             vc = kv_cache_write(vc, v, meta.slot_mapping, layer_idx)
             attn = paged_attention_ref(
                 q, kc, vc, layer_idx, meta, scale,
-                sliding_window=cfg.sliding_window,
+                sliding_window=sw, logit_softcap=softcap,
             )
-        h = h + matmul(attn.reshape(T, Hq * Dh), lp["o"], mesh=mesh, tp="row")
+        a_out = matmul(attn.reshape(T, Hq * Dh), lp["o"], mesh=mesh, tp="row")
+        if cfg.use_post_norms:
+            # Gemma-2 sandwich norm: normalize the block OUTPUT before the
+            # residual add.
+            a_out = rms_norm(a_out, lp["post_attn_ln"], cfg.rms_norm_eps, uo)
+        h = h + a_out
 
-        # MLP block (reference: qwen3.rs:305-314)
-        x = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+        # MLP block (reference: qwen3.rs:305-314). post_ln is the pre-MLP
+        # norm (HF: post_attention_layernorm for Qwen/Llama,
+        # pre_feedforward_layernorm for Gemma 2).
+        x = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps, uo)
         gate_up = matmul(x, lp["gate_up"], mesh=mesh, tp="column")
         gate, up = jnp.split(gate_up, 2, axis=-1)
-        h = h + matmul(jax.nn.silu(gate) * up, lp["down"], mesh=mesh, tp="row")
+        act = (jax.nn.gelu(gate, approximate=True)
+               if cfg.hidden_act == "gelu_tanh" else jax.nn.silu(gate))
+        m_out = matmul(act * up, lp["down"], mesh=mesh, tp="row")
+        if cfg.use_post_norms:
+            m_out = rms_norm(m_out, lp["post_ff_ln"], cfg.rms_norm_eps, uo)
+        h = h + m_out
         if window is not None:
             # This layer's K/V rows stack into [L, S, Hkv, Dh] via ys; the
             # caller writes them into the staging buffer once per substep.
             return (h, kc, vc, layer_idx + 1), (k, v)
         return (h, kc, vc, layer_idx + 1), None
 
-    (h, k_cache, v_cache, _), ys = jax.lax.scan(
-        layer_step,
-        (h, k_cache, v_cache, jnp.int32(0)),
-        params["layers"],
-    )
+    L = cfg.num_hidden_layers
+    if cfg.layer_types is not None:
+        # Alternating local/global attention (Gemma 2: period 2). The
+        # sliding window is a STATIC kernel parameter, so the scan runs
+        # over GROUPS of `period` layers — the body unrolls one layer per
+        # pattern position, each with its own static window; params
+        # reshape [L, ...] -> [L/P, P, ...] (metadata-only).
+        P = _layer_type_period(cfg.layer_types)
+        grouped = jax.tree.map(
+            lambda x: x.reshape(L // P, P, *x.shape[1:]), params["layers"]
+        )
 
-    h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
+        def group_step(carry, lpg):
+            ys_g = []
+            for p_ in range(P):
+                lp = jax.tree.map(lambda x, p_=p_: x[p_], lpg)
+                sw_p = (
+                    cfg.sliding_window
+                    if cfg.layer_types[p_] == "sliding_attention" else None
+                )
+                carry, y = layer_step(carry, lp, sw_p)
+                ys_g.append(y)
+            if window is not None:
+                return carry, jax.tree.map(
+                    lambda *a: jnp.stack(a), *ys_g
+                )
+            return carry, None
+
+        (h, k_cache, v_cache, _), ys = jax.lax.scan(
+            group_step, (h, k_cache, v_cache, jnp.int32(0)), grouped
+        )
+        if window is not None:
+            # [L/P, P, S, Hkv, Dh] -> [L, S, Hkv, Dh]
+            ys = jax.tree.map(lambda x: x.reshape(L, *x.shape[2:]), ys)
+    else:
+        (h, k_cache, v_cache, _), ys = jax.lax.scan(
+            lambda c, lp: layer_step(c, lp, cfg.sliding_window),
+            (h, k_cache, v_cache, jnp.int32(0)),
+            params["layers"],
+        )
+
+    h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps, uo)
 
     # Logits only at each sequence's last query token
     # (reference: embed_head.rs:272-306) — or, for evaluation (perplexity
@@ -565,12 +702,29 @@ def forward(
     x = h if all_logits else h[meta.logits_idx]  # [T or S, D]
     lm_w = params["embedding"] if cfg.tie_word_embeddings else params["lm_head"]
     if head_mode == "greedy":
+        # tanh is monotone, so the final logit softcap never changes the
+        # argmax — the fused greedy head skips it.
         out = greedy_head(x, lm_w, mesh=mesh)  # [S] token ids, no HBM logits
     else:
         out = lm_head_logits(x, lm_w)
+        if cfg.final_logit_softcap:
+            cap = cfg.final_logit_softcap
+            out = cap * jnp.tanh(out / cap)
     if window is not None:
         return out, k_cache, v_cache, ys  # ([L,S,Hkv,Dh], [L,S,Hkv,Dh])
     return out, k_cache, v_cache
+
+
+def _layer_type_period(layer_types: tuple) -> int:
+    """Smallest period of the per-layer attention-kind pattern that divides
+    the layer count (Gemma 2 -> 2); falls back to the full length."""
+    L = len(layer_types)
+    for P in range(1, L + 1):
+        if L % P == 0 and all(
+            layer_types[i] == layer_types[i % P] for i in range(L)
+        ):
+            return P
+    return L
 
 
 def load_weights(cfg: Qwen3Config, model_dir: str, dtype=jnp.bfloat16) -> dict:
@@ -597,6 +751,9 @@ for _mt, _from_hf in (
     ("llama", Qwen3Config.from_hf_llama),
     ("mistral", Qwen3Config.from_hf_llama),
     ("qwen2", Qwen3Config.from_hf_qwen2),
+    # Gemma 2: alternating sliding/full layers, sandwich norms, (1+w)
+    # RMSNorm, GeGLU, sqrt(D) embedding scale, score/logit softcaps.
+    ("gemma2", Qwen3Config.from_hf_gemma2),
 ):
     register_model_family(
         _mt,

@@ -102,6 +102,7 @@ def paged_attention_ref(
     meta: AttentionMetadata,
     scale: float,
     sliding_window: int = None,
+    logit_softcap: float = None,
 ) -> jax.Array:
     """Unified paged attention (prefill + decode) via block-table gather.
 
@@ -147,6 +148,10 @@ def paged_attention_ref(
     scores = jnp.einsum(
         "sqhgd,shld->shgql", qg.astype(jnp.float32), k.astype(jnp.float32)
     ) * scale
+
+    if logit_softcap is not None:
+        # Gemma-2 score softcap, applied to scaled scores pre-mask.
+        scores = logit_softcap * jnp.tanh(scores / logit_softcap)
 
     # Causal + validity mask in absolute positions: key j (its slot index in
     # the gathered layout IS its absolute position) visible iff j <= q_pos.

@@ -66,6 +66,7 @@ def _prefill_kernel(
     head_dim: int,
     chunk: int,
     sliding_window: int = None,
+    logit_softcap: float = None,
 ):
     s = pl.program_id(0)
     qt = pl.program_id(1)
@@ -107,6 +108,8 @@ def _prefill_kernel(
         )
         # Prefill query positions are consecutive: row j of tile qt sits at
         # absolute position qstart + qt*QT + j (valid while < qlen).
+        if logit_softcap is not None:
+            scores = logit_softcap * jnp.tanh(scores / logit_softcap)
         row = jax.lax.broadcasted_iota(jnp.int32, (1, QT, groups, 1), 1)
         qidx = qt * QT + row  # in-sequence query index
         qpos_g = jnp.where(
@@ -158,6 +161,7 @@ def _prefill_kernel_quant(
     head_dim: int,
     chunk: int,
     sliding_window: int = None,
+    logit_softcap: float = None,
 ):
     """Quantized-cache prefill flash: per-row scales fold into scores /
     probabilities (O(CHUNK) work instead of O(CHUNK*Dh) dequantization)."""
@@ -199,6 +203,8 @@ def _prefill_kernel_quant(
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * ks_ref[0, 0][:, None, :]
+        if logit_softcap is not None:
+            scores = logit_softcap * jnp.tanh(scores / logit_softcap)
         row = jax.lax.broadcasted_iota(jnp.int32, (1, QT, groups, 1), 1)
         qidx = qt * QT + row
         qpos_g = jnp.where(
@@ -235,7 +241,8 @@ def _prefill_kernel_quant(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "interpret", "sliding_window")
+    jax.jit,
+    static_argnames=("scale", "interpret", "sliding_window", "logit_softcap"),
 )
 def paged_attention_prefill(
     q: jax.Array,              # [T, Hq, Dh] flat (RoPE'd)
@@ -251,6 +258,7 @@ def paged_attention_prefill(
     *,
     scale: float,
     sliding_window: int = None,
+    logit_softcap: float = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash varlen prefill attention (plain or quantized tuple caches).
@@ -313,7 +321,7 @@ def paged_attention_prefill(
     kernel = functools.partial(
         _prefill_kernel_quant if quantized else _prefill_kernel,
         scale=scale, kv_heads=Hkv, groups=G, head_dim=Dh, chunk=chunk,
-        sliding_window=sliding_window,
+        sliding_window=sliding_window, logit_softcap=logit_softcap,
     )
     in_specs = [
         pl.BlockSpec(

@@ -56,6 +56,7 @@ def _sublane_tile(dtype) -> int:
 def _flash_accumulate(
     q_ref, k, v, k_new_ref, v_new_ref, it, ctx, m_scr, l_scr, acc_scr,
     *, scale, block_size, kv_heads, groups, head_dim, sliding_window=None,
+    logit_softcap=None,
 ):
     """One flash-softmax block update (shared by the plain and quantized
     kernels). k/v: [Hkv, BS, Dh] f32, already dequantized. k_new_ref=None
@@ -81,6 +82,9 @@ def _flash_accumulate(
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+    if logit_softcap is not None:
+        # Gemma-2 score softcap: applied to the SCALED scores, pre-mask.
+        scores = logit_softcap * jnp.tanh(scores / logit_softcap)
     kpos = it * block_size + jax.lax.broadcasted_iota(
         jnp.int32, (kv_heads, groups, block_size), 2
     )
@@ -131,6 +135,7 @@ def _attn_kernel(
     groups: int,
     head_dim: int,
     sliding_window: int = None,
+    logit_softcap: float = None,
 ):
     s = pl.program_id(0)
     it = pl.program_id(1)
@@ -157,6 +162,7 @@ def _attn_kernel(
             q_ref, k, v, k_new_ref, v_new_ref, it, ctx, m_scr, l_scr, acc_scr,
             scale=scale, block_size=block_size, kv_heads=kv_heads,
             groups=groups, head_dim=head_dim, sliding_window=sliding_window,
+            logit_softcap=logit_softcap,
         )
 
     @pl.when(it == last_it)
@@ -190,6 +196,7 @@ def _attn_kernel_quant(
     groups: int,
     head_dim: int,
     sliding_window: int = None,
+    logit_softcap: float = None,
 ):
     """Quantized-KV flash decode: dequantize the fetched block in VMEM with
     its per-(token,head) scales, then the shared flash update."""
@@ -217,6 +224,7 @@ def _attn_kernel_quant(
             q_ref, k, v, k_new_ref, v_new_ref, it, ctx, m_scr, l_scr, acc_scr,
             scale=scale, block_size=block_size, kv_heads=kv_heads,
             groups=groups, head_dim=head_dim, sliding_window=sliding_window,
+            logit_softcap=logit_softcap,
         )
 
     @pl.when(it == last_it)
@@ -227,7 +235,8 @@ def _attn_kernel_quant(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "interpret", "sliding_window")
+    jax.jit,
+    static_argnames=("scale", "interpret", "sliding_window", "logit_softcap"),
 )
 def paged_attention_decode(
     q: jax.Array,              # [S, Hq, Dh]
@@ -241,6 +250,7 @@ def paged_attention_decode(
     *,
     scale: float,
     sliding_window: int = None,
+    logit_softcap: float = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash paged decode attention; the current token's K/V is taken from
@@ -277,7 +287,7 @@ def paged_attention_decode(
     kernel = functools.partial(
         _attn_kernel_quant if quantized else _attn_kernel,
         scale=scale, block_size=BS, kv_heads=Hkv, groups=groups, head_dim=Dh,
-        sliding_window=sliding_window,
+        sliding_window=sliding_window, logit_softcap=logit_softcap,
     )
     in_specs = [
         pl.BlockSpec((1, Hq, Dh), lambda s, it, *p: (s, 0, 0)),
@@ -869,7 +879,7 @@ def paged_attention_decode_partial(
 
 
 def _make_shared_prefix_kernel(*, quantized, kv_heads, rows, head_dim,
-                               compute_dtype):
+                               compute_dtype, logit_softcap=None):
     """Flash-attend EVERY sequence's queries to one common block list.
 
     Shared-prefix (cascade) decode attention: when sequences share a
@@ -918,7 +928,7 @@ def _make_shared_prefix_kernel(*, quantized, kv_heads, rows, head_dim,
                 q_ref[...], k, v, ksc, vsc, 0, jnp.int32(2 ** 30), None,
                 None, -1, m_scr, l_scr, acc_scr,
                 compute_dtype=compute_dtype, kv_heads=kv_heads, groups=rows,
-                head_dim=head_dim,
+                head_dim=head_dim, logit_softcap=logit_softcap,
             )
 
         @pl.when(it == last_it)
@@ -930,7 +940,9 @@ def _make_shared_prefix_kernel(*, quantized, kv_heads, rows, head_dim,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "logit_softcap")
+)
 def shared_prefix_partial(
     q: jax.Array,              # [S, Hq, Dh]
     k_cache,                   # array or (data, scale) tuple
@@ -940,6 +952,7 @@ def shared_prefix_partial(
     shared_nblocks: jax.Array, # scalar int32 — valid entries in shared_tables
     *,
     scale: float,
+    logit_softcap: float = None,
     interpret: bool = False,
 ) -> tuple:
     """Partial flash attention of ALL sequences over one shared block list.
@@ -980,7 +993,7 @@ def shared_prefix_partial(
     quantized = k_scales is not None
     kernel = _make_shared_prefix_kernel(
         quantized=quantized, kv_heads=Hkv, rows=rows, head_dim=Dh,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, logit_softcap=logit_softcap,
     )
     in_specs = [
         pl.BlockSpec((Hkv, rows, Dh), lambda it, *p: (0, 0, 0)),
@@ -1437,7 +1450,7 @@ def _window_commit_kernel_quant(
 def _window_flash_block(q, k, v, kscale, vscale, pos_base, klimit, patch_k,
                         patch_v, patch_pos, m_scr, l_scr, acc_scr, *,
                         compute_dtype, kv_heads, groups, head_dim,
-                        lo_limit=None):
+                        lo_limit=None, logit_softcap=None):
     """One flash block update. q: [Hkv, G, Dh] (pre-scaled, compute dtype);
     k/v: [Hkv, B, Dh]; kscale/vscale: [Hkv, B] f32 or None (folded into
     scores / probabilities — O(B) work instead of O(B*Dh) block
@@ -1466,6 +1479,9 @@ def _window_flash_block(q, k, v, kscale, vscale, pos_base, klimit, patch_k,
     if kscale is not None:
         ksc = jnp.where(pos2 == patch_pos, 1.0, kscale)
         scores = scores * ksc[:, None, :]
+    if logit_softcap is not None:
+        # Gemma-2 score softcap on the true (scaled, dequantized) scores.
+        scores = logit_softcap * jnp.tanh(scores / logit_softcap)
     pos_g = pos_base + jax.lax.broadcasted_iota(
         jnp.int32, (kv_heads, groups, B), 2
     )
@@ -1493,7 +1509,8 @@ def _window_flash_block(q, k, v, kscale, vscale, pos_base, klimit, patch_k,
 
 def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
                              groups, head_dim, win, compute_dtype, sps,
-                             npar, has_init, sliding_window=None):
+                             npar, has_init, sliding_window=None,
+                             logit_softcap=None):
     # Per-grid-step fixed cost (~1-2 us on v5e) dominates this kernel at
     # decode shapes, so the grid is minimized three ways: SPS sequence
     # lanes per step (independent flash updates — the hardware overlaps
@@ -1589,6 +1606,7 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
                         start, None, None, -1, *msl,
                         compute_dtype=compute_dtype, kv_heads=kv_heads,
                         groups=groups, head_dim=head_dim, lo_limit=lo,
+                        logit_softcap=logit_softcap,
                     )
 
             @pl.when(it == last_it)
@@ -1604,6 +1622,7 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
                     start + j, *msl,
                     compute_dtype=compute_dtype, kv_heads=kv_heads,
                     groups=groups, head_dim=head_dim, lo_limit=lo,
+                    logit_softcap=logit_softcap,
                 )
                 m_, l_, acc_ = msl
                 l = l_[...]
@@ -1615,7 +1634,9 @@ def _make_window_attn_kernel(*, quantized, scale, block_size, kv_heads,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "interpret", "max_rem", "sliding_window"),
+    static_argnames=(
+        "scale", "interpret", "max_rem", "sliding_window", "logit_softcap",
+    ),
 )
 def paged_attention_window(
     q: jax.Array,              # [S, Hq, Dh]
@@ -1635,6 +1656,7 @@ def paged_attention_window(
     scale: float,
     max_rem: int = None,       # static: max history blocks any row iterates
     sliding_window: int = None,
+    logit_softcap: float = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Window-mode flash decode attention in one kernel: committed history
@@ -1702,6 +1724,7 @@ def paged_attention_window(
         quantized=quantized, scale=scale, block_size=BS, kv_heads=Hkv,
         groups=groups, head_dim=Dh, win=W, compute_dtype=compute_dtype,
         sps=SPS, npar=NPAR, has_init=has_init, sliding_window=sliding_window,
+        logit_softcap=logit_softcap,
     )
     in_specs = [
         pl.BlockSpec((SPS, Hq, Dh), lambda ss, it, *p: (ss, 0, 0)),

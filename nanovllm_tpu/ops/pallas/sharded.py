@@ -25,12 +25,14 @@ def sharded_paged_attention_decode(mesh: Mesh, q, k_new, v_new, k_cache,
                                    v_cache, layer_idx, block_tables,
                                    context_lens, *, scale: float,
                                    sliding_window: int = None,
+                                   logit_softcap: float = None,
                                    interpret: bool = False):
     """paged_attention_decode with heads sharded over the model axis."""
     from nanovllm_tpu.ops.pallas.paged_attention import paged_attention_decode
 
     fn = partial(paged_attention_decode, scale=scale,
-                 sliding_window=sliding_window, interpret=interpret)
+                 sliding_window=sliding_window, logit_softcap=logit_softcap,
+                 interpret=interpret)
     cache_spec = P(None, None, AXIS_MODEL, None, None)
     if isinstance(k_cache, tuple):
         cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))
@@ -81,11 +83,13 @@ def sharded_paged_attention_prefill(mesh: Mesh, q, k_cache, v_cache,
                                     q_gather, q_positions, token_seq,
                                     token_qcol, *, scale: float,
                                     sliding_window: int = None,
+                                    logit_softcap: float = None,
                                     interpret: bool = False):
     from nanovllm_tpu.ops.pallas.flash_prefill import paged_attention_prefill
 
     fn = partial(paged_attention_prefill, scale=scale,
-                 sliding_window=sliding_window, interpret=interpret)
+                 sliding_window=sliding_window, logit_softcap=logit_softcap,
+                 interpret=interpret)
     cache_spec = P(None, None, AXIS_MODEL, None, None)
     if isinstance(k_cache, tuple):
         cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))
@@ -190,6 +194,7 @@ def sharded_paged_attention_window(mesh: Mesh, q, k_new, v_new, k_staged,
                                    skip_blocks=None, init=None, *,
                                    scale: float, max_rem: int = None,
                                    sliding_window: int = None,
+                                   logit_softcap: float = None,
                                    interpret: bool = False):
     """Unified window-mode decode attention with heads sharded over the
     model axis (history blocks + staging + current row all head-parallel).
@@ -201,7 +206,8 @@ def sharded_paged_attention_window(mesh: Mesh, q, k_new, v_new, k_staged,
     from nanovllm_tpu.ops.pallas.paged_attention import paged_attention_window
 
     fn = partial(paged_attention_window, scale=scale, max_rem=max_rem,
-                 sliding_window=sliding_window, interpret=interpret)
+                 sliding_window=sliding_window, logit_softcap=logit_softcap,
+                 interpret=interpret)
     cache_spec = P(None, None, AXIS_MODEL, None, None)
     if isinstance(k_cache, tuple):
         cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))
@@ -238,13 +244,15 @@ def sharded_paged_attention_window(mesh: Mesh, q, k_new, v_new, k_staged,
 
 def sharded_shared_prefix_partial(mesh: Mesh, q, k_cache, v_cache, layer_idx,
                                   shared_tables, shared_nblocks, *,
-                                  scale: float, interpret: bool = False):
+                                  scale: float, logit_softcap: float = None,
+                                  interpret: bool = False):
     """shared_prefix_partial with heads sharded over the model axis; the
     returned flash state (acc, m, l) stays head-sharded for
     sharded_paged_attention_window's init operands."""
     from nanovllm_tpu.ops.pallas.paged_attention import shared_prefix_partial
 
-    fn = partial(shared_prefix_partial, scale=scale, interpret=interpret)
+    fn = partial(shared_prefix_partial, scale=scale,
+                 logit_softcap=logit_softcap, interpret=interpret)
     cache_spec = P(None, None, AXIS_MODEL, None, None)
     if isinstance(k_cache, tuple):
         cache_spec = (cache_spec, P(None, None, AXIS_MODEL, None))

@@ -87,6 +87,15 @@ def load_qwen3_weights(cfg, model_dir: str, dtype=jnp.bfloat16) -> dict:
         ]
     )
 
+    # Gemma-2 sandwich norms rename the pre-MLP norm: HF
+    # post_attention_layernorm is applied to the ATTENTION OUTPUT (our
+    # post_attn_ln) and pre_feedforward_layernorm is the pre-MLP norm (our
+    # post_ln slot, which holds that position for every family).
+    post_norms = getattr(cfg, "use_post_norms", False)
+    pre_mlp_name = (
+        "model.layers.{i}.pre_feedforward_layernorm.weight" if post_norms
+        else "model.layers.{i}.post_attention_layernorm.weight"
+    )
     layers = {
         "input_ln": jnp.asarray(stack("model.layers.{i}.input_layernorm.weight"), dtype),
         "qkv": jnp.asarray(qkv, dtype),
@@ -94,15 +103,20 @@ def load_qwen3_weights(cfg, model_dir: str, dtype=jnp.bfloat16) -> dict:
             np.stack([get(f"model.layers.{i}.self_attn.o_proj.weight").T for i in range(L)]),
             dtype,
         ),
-        "post_ln": jnp.asarray(
-            stack("model.layers.{i}.post_attention_layernorm.weight"), dtype
-        ),
+        "post_ln": jnp.asarray(stack(pre_mlp_name), dtype),
         "gate_up": jnp.asarray(gate_up, dtype),
         "down": jnp.asarray(
             np.stack([get(f"model.layers.{i}.mlp.down_proj.weight").T for i in range(L)]),
             dtype,
         ),
     }
+    if post_norms:
+        layers["post_attn_ln"] = jnp.asarray(
+            stack("model.layers.{i}.post_attention_layernorm.weight"), dtype
+        )
+        layers["post_ff_ln"] = jnp.asarray(
+            stack("model.layers.{i}.post_feedforward_layernorm.weight"), dtype
+        )
     if getattr(cfg, "use_qk_norm", True):
         layers["q_norm"] = jnp.asarray(stack("model.layers.{i}.self_attn.q_norm.weight"), dtype)
         layers["k_norm"] = jnp.asarray(stack("model.layers.{i}.self_attn.k_norm.weight"), dtype)
