@@ -177,6 +177,24 @@ class ModelRunner:
             and (jax.default_backend() == "tpu" or config.pallas_interpret)
             and self.model_config.head_dim % 128 == 0
         )
+        if (
+            base_pallas
+            and kv_quantized
+            and jax.default_backend() == "tpu"
+            and self.block_size % 128 != 0
+        ):
+            # Quantized scale planes are [.., Hkv, BS] with BS on the lane
+            # dim; Mosaic requires 128-aligned lane DMAs on real TPUs, so
+            # quantized-KV kernels need block_size % 128 == 0 (interpret
+            # mode doesn't enforce this — CPU tests with tiny blocks stay
+            # on the kernels).
+            logger.warning(
+                "quantized KV with kvcache_block_size=%d needs a multiple "
+                "of 128 for the Pallas kernels on TPU; falling back to the "
+                "jnp attention path (set kvcache_block_size=128/256 for "
+                "full performance)", self.block_size,
+            )
+            base_pallas = False
         self.attn_impl = "pallas_decode" if base_pallas else "ref"
         self.prefill_attn_impl = "pallas_prefill" if base_pallas else "ref"
         # window_commit auto: ON for quantized KV (measured 10.0k vs 7.7k

@@ -315,6 +315,12 @@ def greedy_head(x: jax.Array, lm_w, mesh=None) -> jax.Array:
     if (
         jax.default_backend() == "tpu"
         and mesh is None
+        # f32 activations: the fused kernel is correct standalone but
+        # crashes the TPU worker when composed into the engine's prefill
+        # jit (isolated on-chip, 2026-08; bf16/int8 — every serving
+        # config — are unaffected). f32 is a debugging dtype; take the
+        # unfused argmax there.
+        and x.dtype != jnp.float32
         and not os.environ.get("NANOVLLM_DISABLE_FUSED_LMHEAD")
     ):
         from nanovllm_tpu.ops.pallas.lm_head import fused_greedy_head
