@@ -75,9 +75,8 @@ def _commit_kernel_quant(
     # inputs (ANY): pre-quantized grids + per-row scale grids
     k_grid,           # [S, Hkv, Qpad, Dh] cache dtype
     v_grid,
-    ks_grid,          # [S, Hkv, Qpad/BS, BS] f32 (block-major: lane slices
-    vs_grid,          #   must be 128-aligned, so the DMA moves whole BS
-                      #   rows via an integer block index instead)
+    ks_grid,          # [S, Hkv, Qpad] f32 (lane-dim BS slices: requires
+    vs_grid,          #   BS % 128 == 0, gated in ModelRunner)
     k_in, v_in, ks_in, vs_in,
     # outputs (aliased)
     k_out, v_out,     # [L, NB, Hkv, BS, Dh]
@@ -99,13 +98,12 @@ def _commit_kernel_quant(
     @pl.when(needed)
     def _():
         blk = tables_ref[s, b]
-        gb = b - cblk_ref[s]          # grid-block index
-        row_lo = gb * block_size
+        row_lo = (b - cblk_ref[s]) * block_size
         copies = (
             (k_grid.at[s, :, pl.ds(row_lo, block_size), :], k_out.at[layer, blk], 0),
             (v_grid.at[s, :, pl.ds(row_lo, block_size), :], v_out.at[layer, blk], 1),
-            (ks_grid.at[s, :, gb, :], ks_out.at[layer, blk], 2),
-            (vs_grid.at[s, :, gb, :], vs_out.at[layer, blk], 3),
+            (ks_grid.at[s, :, pl.ds(row_lo, block_size)], ks_out.at[layer, blk], 2),
+            (vs_grid.at[s, :, pl.ds(row_lo, block_size)], vs_out.at[layer, blk], 3),
         )
         for src, dst, which in copies:
             dma = pltpu.make_async_copy(src, dst, sems.at[slot, which])
@@ -193,12 +191,10 @@ def prefill_kv_commit(
 
     kq, ks = qgrid(k_grid)
     vq, vs = qgrid(v_grid)
-    # Scale planes ship block-major [S, Hkv, Qpad/BS, BS]: a lane-dim
-    # ds() slice must be 128-aligned on TPU (Mosaic), which block sizes
-    # < 128 violate — an integer block index + full BS lane dim is always
-    # legal.
-    ks = ks.reshape(S, Hkv, Qpad // BS, BS)
-    vs = vs.reshape(S, Hkv, Qpad // BS, BS)
+    # Scale-plane DMAs slice the LANE dim by BS, which Mosaic only allows
+    # 128-aligned — hence the ModelRunner gate: quantized KV on real TPUs
+    # requires BS % 128 == 0 (a block-major reshape was tried and just
+    # moves the misalignment to the sublane dim).
     kernel = functools.partial(_commit_kernel_quant, block_size=BS)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
