@@ -84,6 +84,10 @@ class Qwen3Config:
     query_pre_attn_scalar: Optional[float] = None
     # Scale embeddings by sqrt(hidden_size) (Gemma).
     scale_embedding: bool = False
+    # RoPE base for SLIDING layers when it differs from rope_theta
+    # (Gemma 3: local layers 10k, global layers 1M). None = rope_theta
+    # everywhere.
+    rope_local_base_freq: Optional[float] = None
     # Sandwich norms: extra RMSNorms applied to each block's OUTPUT before
     # the residual add (Gemma 2's post_attention / post_feedforward norms).
     use_post_norms: bool = False
@@ -173,6 +177,36 @@ class Qwen3Config:
             query_pre_attn_scalar=d.get("query_pre_attn_scalar"),
             scale_embedding=True,
             use_post_norms=True,
+        )
+
+    @classmethod
+    def from_hf_gemma3(cls, d: dict) -> "Qwen3Config":
+        """Gemma 3 (text): Gemma 2's block structure minus the softcaps,
+        plus per-head q/k RMSNorm, a 5-local:1-global layer pattern, and a
+        separate RoPE base for the local layers."""
+        act = d.get("hidden_activation", d.get("hidden_act",
+                                               "gelu_pytorch_tanh"))
+        d = dict(d)
+        d.setdefault("tie_word_embeddings", True)
+        if "layer_types" not in d and d.get("sliding_window"):
+            P = int(d.get("sliding_window_pattern", 6))
+            # HF Gemma 3: every P-th layer is global.
+            d["layer_types"] = [
+                "full_attention" if (i + 1) % P == 0 else "sliding_attention"
+                for i in range(d["num_hidden_layers"])
+            ]
+        return cls.from_hf(
+            d,
+            use_qk_norm=True,
+            attention_bias=bool(d.get("attention_bias", False)),
+            rms_unit_offset=True,
+            hidden_act="gelu_tanh" if "gelu" in act else "silu",
+            attn_logit_softcap=d.get("attn_logit_softcapping"),
+            final_logit_softcap=d.get("final_logit_softcapping"),
+            query_pre_attn_scalar=d.get("query_pre_attn_scalar"),
+            scale_embedding=True,
+            use_post_norms=True,
+            rope_local_base_freq=d.get("rope_local_base_freq"),
         )
 
     def validate(self, tensor_parallel_size: int = 1) -> None:
@@ -297,7 +331,8 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float,
     return (wf * normed).astype(x.dtype)
 
 
-def rope_params(cfg: "Qwen3Config"):
+def rope_params(cfg: "Qwen3Config", theta: float = None,
+                scaled: bool = True):
     """Per-dimension inverse frequencies + attention mscale for this
     config's RoPE scheme.
 
@@ -312,9 +347,11 @@ def rope_params(cfg: "Qwen3Config"):
 
     Dh = cfg.head_dim
     half = Dh // 2
-    sc = cfg.rope_scaling or {}
+    if theta is None:
+        theta = cfg.rope_theta
+    sc = (cfg.rope_scaling or {}) if scaled else {}
     if sc.get("rope_type", sc.get("type")) == "yarn":
-        base = cfg.rope_theta
+        base = theta
         factor = float(sc.get("factor", 1.0))
         orig = float(
             sc.get("original_max_position_embeddings")
@@ -341,7 +378,8 @@ def rope_params(cfg: "Qwen3Config"):
         af = sc.get("attention_factor")
         mscale = float(af) if af is not None else 0.1 * math.log(factor) + 1.0
         return inv_freq, mscale
-    theta = cfg.rope_theta * cfg.rope_scaling_factor
+    if scaled:
+        theta = theta * cfg.rope_scaling_factor
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, half, dtype=jnp.float32) * 2.0 / Dh))
     return inv_freq, 1.0
@@ -459,7 +497,14 @@ def forward(
         # RoPE with the config's long-context scheme: linear base scaling
         # (reference parity, rotary_embedding.rs:122-133) or YaRN
         # (per-dim interpolation ramp + mscale — Qwen3's >32k mode).
-        inv_freq, rope_mscale = rope_params(cfg)
+        # Gemma 3: sliding layers use a separate (local) RoPE base, and
+        # rope_scaling applies only to the GLOBAL layers (HF semantics).
+        use_local = sw is not None and cfg.rope_local_base_freq
+        inv_freq, rope_mscale = rope_params(
+            cfg,
+            cfg.rope_local_base_freq if use_local else None,
+            scaled=not use_local,
+        )
         q = apply_rope(q, meta.positions, inv_freq, rope_mscale)
         k = apply_rope(k, meta.positions, inv_freq, rope_mscale)
 
@@ -754,6 +799,10 @@ for _mt, _from_hf in (
     # Gemma 2: alternating sliding/full layers, sandwich norms, (1+w)
     # RMSNorm, GeGLU, sqrt(D) embedding scale, score/logit softcaps.
     ("gemma2", Qwen3Config.from_hf_gemma2),
+    # Gemma 3 (text): Gemma 2 minus softcaps, plus per-head q/k RMSNorm,
+    # a 5-local:1-global pattern, and a local-layer RoPE base.
+    ("gemma3_text", Qwen3Config.from_hf_gemma3),
+    ("gemma3", Qwen3Config.from_hf_gemma3),
 ):
     register_model_family(
         _mt,
