@@ -330,15 +330,20 @@ struct BlockManager {
       // token of a decode window is the NEXT window's input, whose KV row
       // may never be written (preempt/abort/stop), so a block is hashable
       // only when covered by the first n_tokens-1 tokens.
-      // A hole before this block breaks the prefix chain: registering a
-      // truncated chain would alias a different prefix's identity.
+      // A block's identity must chain from a HASHED predecessor:
+      // registering with prefix 0 would alias a mid-sequence block to a
+      // position-0 chain start (a later same-token prompt would cache-hit
+      // KV computed at the wrong positions). A sliding-window eviction
+      // hole (or an unhashed prev behind one) breaks the chain for the
+      // whole tail — skip registration there.
       if (len == block_size && prefix_caching &&
-          (idx + 1) * block_size < n_tokens &&
-          !(idx > 0 && table[idx - 1] < 0)) {
+          (idx + 1) * block_size < n_tokens) {
         uint64_t prefix = 0;
         if (idx > 0) {
+          if (table[idx - 1] < 0) continue;
           const Block& prev = blocks[table[idx - 1]];
-          if (prev.has_hash) prefix = prev.hash;
+          if (!prev.has_hash) continue;
+          prefix = prev.hash;
         }
         b.hash = chain_hash(tok, len, prefix);
         b.has_hash = true;

@@ -21,6 +21,11 @@ CASES = {
                  num_attention_heads=8, num_key_value_heads=4, head_dim=128,
                  sliding_window=48, query_pre_attn_scalar=128,
                  attn_logit_softcapping=50.0, final_logit_softcapping=30.0),
+  "gemma3": dict(model_type="gemma3_text", vocab_size=2048, hidden_size=512,
+                 intermediate_size=1024, num_hidden_layers=6,
+                 num_attention_heads=8, num_key_value_heads=4, head_dim=128,
+                 sliding_window=48, rope_theta=1e6, rope_local_base_freq=1e4,
+                 query_pre_attn_scalar=128),
 }
 params = nv.SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True)
 prompt = ["on chip smoke prompt well past the window " * 4]  # ~170 tokens

@@ -364,14 +364,23 @@ class BlockManager:
                 len(tokens) == self.block_size
                 and self.enable_prefix_caching
                 and (idx + 1) * self.block_size < len(seq)
-                # An eviction hole before this block breaks the prefix
-                # chain: registering with a truncated chain would alias a
-                # DIFFERENT prefix's identity.
-                and not (idx > 0 and seq.block_table[idx - 1] < 0)
             ):
+                # A block's identity must chain from a HASHED predecessor:
+                # registering with prefix 0 would alias a mid-sequence
+                # block to a position-0 chain start (a later same-token
+                # prompt would cache-hit KV computed at the wrong RoPE
+                # positions). prev can legitimately lack a hash after a
+                # sliding-window eviction hole (or when the hole removed
+                # the block whose hash the chain needed) — skip
+                # registration for the whole broken tail.
                 if idx > 0:
-                    prev = self.blocks[seq.block_table[idx - 1]]
-                    prefix_hash = prev.hash if prev.hash is not None else 0
+                    prev_id = seq.block_table[idx - 1]
+                    if prev_id < 0:
+                        continue
+                    prev = self.blocks[prev_id]
+                    if prev.hash is None:
+                        continue
+                    prefix_hash = prev.hash
                 else:
                     prefix_hash = 0
                 block.hash = compute_hash(tokens, prefix_hash)

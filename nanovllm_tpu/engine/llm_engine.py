@@ -422,6 +422,24 @@ class LLMEngine:
     # ------------------------------------------------------------------
     # Streaming API (reference: llm_engine.rs:101-128, 233-301)
     # ------------------------------------------------------------------
+    def stream_delta(self, seq, emitted: int, prev_text: str, done: bool):
+        """Incremental-detokenization step shared by generate_stream and
+        the HTTP server: decode the first `emitted` completion tokens,
+        truncate at a stop-string match, hold back a trailing replacement
+        char (usually an incomplete UTF-8/merge sequence the next token
+        rewrites) unless done, and diff against the previously emitted
+        text. Returns (stable_text, delta)."""
+        full = self.tokenizer.decode(seq.completion_token_ids[:emitted])
+        if seq.stop_text_end is not None:
+            # Stop-string finish: never stream past the match.
+            full = full[: seq.stop_text_end]
+        stable = full
+        while not done and stable.endswith("\ufffd"):
+            stable = stable[:-1]
+        delta = stable[len(prev_text):] if stable.startswith(prev_text) else stable
+        return stable, delta
+
+
     async def generate_stream(
         self, prompt: str, params: Optional[SamplingParams] = None
     ) -> AsyncGenerator[SequenceOutput, None]:
@@ -451,18 +469,8 @@ class LLMEngine:
                         emitted == seq.num_completion_tokens
                         and seq.status in (SequenceStatus.FINISHED, SequenceStatus.ERROR)
                     )
-                    full = self.tokenizer.decode(seq.completion_token_ids[:emitted])
-                    if seq.stop_text_end is not None:
-                        # Stop-string finish: never stream past the match.
-                        full = full[: seq.stop_text_end]
-                    # Detokenization holdback: a trailing replacement char
-                    # usually means an incomplete UTF-8 / merge sequence that
-                    # the next token will rewrite — don't emit it until done.
-                    stable = full
-                    while not done and stable.endswith("�"):
-                        stable = stable[:-1]
                     prev = self._stream_text.get(seq.seq_id, "")
-                    delta = stable[len(prev):] if stable.startswith(prev) else stable
+                    stable, delta = self.stream_delta(seq, emitted, prev, done)
                     self._stream_text[seq.seq_id] = stable
                     out = seq.create_output(delta)
                     out.token_ids = out.token_ids[: seq.num_prompt_tokens + emitted]

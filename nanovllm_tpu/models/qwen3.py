@@ -50,10 +50,13 @@ class Qwen3Config:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
-    # Long-context hooks. rope_scaling_factor is the reference's only
-    # mechanism (rotary_embedding.rs:122-133 `new_with_scaling` — RoPE
-    # base x factor), parsed from HF config.json's rope_scaling when type
-    # is linear. rope_scaling carries the full HF dict for richer schemes:
+    # Long-context hooks. rope_scaling_factor is parsed from HF
+    # config.json's rope_scaling when type is linear and applied with HF
+    # semantics (position interpolation: inv_freq / factor); the
+    # reference's own hook is RoPE base x factor
+    # (rotary_embedding.rs:122-133), a different curve that cannot
+    # reproduce HF checkpoints. rope_scaling carries the full HF dict for
+    # richer schemes:
     # type "yarn" (the scheme Qwen3 ships for >32k contexts) is
     # implemented per HF transformers' _compute_yarn_parameters —
     # per-dimension interpolation/extrapolation ramp + attention mscale.
@@ -93,17 +96,21 @@ class Qwen3Config:
     use_post_norms: bool = False
 
     @classmethod
-    def from_hf(cls, d: dict, **overrides) -> "Qwen3Config":
+    def from_hf(cls, d: dict, assume_sliding: bool = False,
+                **overrides) -> "Qwen3Config":
         heads = d["num_attention_heads"]
         scaling = d.get("rope_scaling") or {}
         stype = scaling.get("rope_type", scaling.get("type"))
         factor = 1.0
         if stype == "linear":
             factor = float(scaling.get("factor", 1.0))
-        # Mistral configs carry sliding_window directly (null = off);
-        # Qwen2/Qwen3 gate it behind use_sliding_window (default False).
+        # Mistral/Gemma configs carry sliding_window directly (null = off;
+        # assume_sliding=True); Qwen2/Qwen3 gate it behind
+        # use_sliding_window whose HF DEFAULT IS FALSE — a config that
+        # omits the key (saved defaults are dropped) must not enable local
+        # attention HF would ignore (code review r3).
         sw = d.get("sliding_window")
-        if not d.get("use_sliding_window", True):
+        if not d.get("use_sliding_window", assume_sliding):
             sw = None
         # Newer HF configs carry explicit per-layer kinds; collapse the
         # uniform cases (all-full -> no window, all-sliding -> uniform).
@@ -138,8 +145,9 @@ class Qwen3Config:
 
     @classmethod
     def from_hf_llama(cls, d: dict) -> "Qwen3Config":
-        """Llama / Mistral: no q/k norm, no attention bias."""
-        return cls.from_hf(d, use_qk_norm=False,
+        """Llama / Mistral: no q/k norm, no attention bias. Mistral has no
+        use_sliding_window gate — a non-null sliding_window is active."""
+        return cls.from_hf(d, assume_sliding=True, use_qk_norm=False,
                            attention_bias=bool(d.get("attention_bias", False)))
 
     @classmethod
@@ -168,6 +176,7 @@ class Qwen3Config:
             ]
         return cls.from_hf(
             d,
+            assume_sliding=True,
             use_qk_norm=False,
             attention_bias=bool(d.get("attention_bias", False)),
             rms_unit_offset=True,
@@ -197,6 +206,7 @@ class Qwen3Config:
             ]
         return cls.from_hf(
             d,
+            assume_sliding=True,
             use_qk_norm=True,
             attention_bias=bool(d.get("attention_bias", False)),
             rms_unit_offset=True,
@@ -378,10 +388,18 @@ def rope_params(cfg: "Qwen3Config", theta: float = None,
         af = sc.get("attention_factor")
         mscale = float(af) if af is not None else 0.1 * math.log(factor) + 1.0
         return inv_freq, mscale
-    if scaled:
-        theta = theta * cfg.rope_scaling_factor
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, half, dtype=jnp.float32) * 2.0 / Dh))
+    if scaled:
+        # HF "linear" rope scaling is POSITION INTERPOLATION: every
+        # frequency divides by the factor (positions effectively shrink by
+        # 1/factor) — NOT base scaling (theta * factor), which only agrees
+        # at the last dim. The reference's own hook multiplies the base
+        # (rotary_embedding.rs:122-133), but HF checkpoints carrying
+        # rope_scaling={"rope_type": "linear"} (e.g. Gemma 3's global
+        # layers, factor 8) require HF semantics to reproduce HF logits
+        # (code review r3; tests/test_golden_hf.py::TestLinearRope).
+        inv_freq = inv_freq / cfg.rope_scaling_factor
     return inv_freq, 1.0
 
 
@@ -700,15 +718,15 @@ def forward(
 
     L = cfg.num_hidden_layers
     if cfg.layer_types is not None:
-        # Alternating local/global attention (Gemma 2: period 2). The
-        # sliding window is a STATIC kernel parameter, so the scan runs
-        # over GROUPS of `period` layers — the body unrolls one layer per
-        # pattern position, each with its own static window; params
-        # reshape [L, ...] -> [L/P, P, ...] (metadata-only).
+        # Alternating local/global attention (Gemma 2: period 2; Gemma 3:
+        # period 6). The sliding window is a STATIC kernel parameter, so
+        # the scan runs over GROUPS of `period` layers — the body unrolls
+        # one layer per pattern position, each with its own static window;
+        # params reshape [L, ...] -> [L/P, P, ...] (metadata-only). Layer
+        # counts that don't divide the period (Gemma3-1B: 26 = 4*6 + 2)
+        # scan the whole groups and unroll the remainder.
         P = _layer_type_period(cfg.layer_types)
-        grouped = jax.tree.map(
-            lambda x: x.reshape(L // P, P, *x.shape[1:]), params["layers"]
-        )
+        Lm = (L // P) * P
 
         def group_step(carry, lpg):
             ys_g = []
@@ -726,12 +744,35 @@ def forward(
                 )
             return carry, None
 
-        (h, k_cache, v_cache, _), ys = jax.lax.scan(
-            group_step, (h, k_cache, v_cache, jnp.int32(0)), grouped
-        )
-        if window is not None:
-            # [L/P, P, S, Hkv, Dh] -> [L, S, Hkv, Dh]
-            ys = jax.tree.map(lambda x: x.reshape(L, *x.shape[2:]), ys)
+        carry = (h, k_cache, v_cache, jnp.int32(0))
+        ys = None
+        if Lm:
+            grouped = jax.tree.map(
+                lambda x: x[:Lm].reshape(Lm // P, P, *x.shape[1:]),
+                params["layers"],
+            )
+            carry, ys = jax.lax.scan(group_step, carry, grouped)
+            if window is not None:
+                # [Lm/P, P, S, Hkv, Dh] -> [Lm, S, Hkv, Dh]
+                ys = jax.tree.map(lambda x: x.reshape(Lm, *x.shape[2:]), ys)
+        ys_tail = []
+        for i in range(Lm, L):
+            lp = jax.tree.map(lambda x, i=i: x[i], params["layers"])
+            sw_i = (
+                cfg.sliding_window
+                if cfg.layer_types[i] == "sliding_attention" else None
+            )
+            carry, y = layer_step(carry, lp, sw_i)
+            ys_tail.append(y)
+        if window is not None and ys_tail:
+            tail = jax.tree.map(lambda *a: jnp.stack(a), *ys_tail)
+            ys = (
+                tail if ys is None
+                else jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b]), ys, tail
+                )
+            )
+        h, k_cache, v_cache, _ = carry
     else:
         (h, k_cache, v_cache, _), ys = jax.lax.scan(
             lambda c, lp: layer_step(c, lp, cfg.sliding_window),
@@ -761,13 +802,12 @@ def forward(
 
 
 def _layer_type_period(layer_types: tuple) -> int:
-    """Smallest period of the per-layer attention-kind pattern that divides
-    the layer count (Gemma 2 -> 2); falls back to the full length."""
+    """Smallest period of the per-layer attention-kind pattern (Gemma 2 ->
+    2, Gemma 3 -> 6); the layer count need not divide it (the forward
+    unrolls the remainder). Falls back to the full length."""
     L = len(layer_types)
     for P in range(1, L + 1):
-        if L % P == 0 and all(
-            layer_types[i] == layer_types[i % P] for i in range(L)
-        ):
+        if all(layer_types[i] == layer_types[i % P] for i in range(L)):
             return P
     return L
 

@@ -45,6 +45,20 @@ class _Tracked:
         self.prev_text = ""
 
 
+class Delta:
+    """One streamed token's payload."""
+
+    __slots__ = ("text", "emitted", "finish_reason", "logprob", "top")
+
+    def __init__(self, text, emitted, finish_reason=None, logprob=None,
+                 top=None):
+        self.text = text
+        self.emitted = emitted
+        self.finish_reason = finish_reason
+        self.logprob = logprob
+        self.top = top
+
+
 class EngineWorker(threading.Thread):
     """The single thread allowed to touch the engine."""
 
@@ -71,21 +85,24 @@ class EngineWorker(threading.Thread):
 
     # -- worker thread ----------------------------------------------------
     def run(self) -> None:
+        # The loop must NEVER die with requests outstanding: a dead worker
+        # leaves every handler blocked on its reply queue while /health
+        # keeps answering (code review r3). Any unexpected exception fails
+        # the in-flight requests and keeps serving.
         while not self._stop.is_set():
-            self._drain_commands(block=not self.tracked)
-            if self._stop.is_set():
-                break
-            if self.tracked and self.engine.has_unfinished():
-                try:
+            try:
+                self._drain_commands(block=not self.tracked)
+                if self._stop.is_set():
+                    break
+                if self.tracked and self.engine.has_unfinished():
                     self.engine.step()
-                except Exception:
-                    logger.exception("engine step failed")
-                    for t in self.tracked:
-                        t.reply.put(RuntimeError("engine step failed"))
-                        t.reply.put(_DONE)
-                    self.tracked.clear()
-                    continue
-            self._emit_deltas()
+                self._emit_deltas()
+            except Exception:
+                logger.exception("engine worker iteration failed")
+                for t in self.tracked:
+                    t.reply.put(RuntimeError("engine worker failed"))
+                    t.reply.put(_DONE)
+                self.tracked.clear()
 
     def _drain_commands(self, block: bool) -> None:
         try:
@@ -115,41 +132,42 @@ class EngineWorker(threading.Thread):
         still = []
         for t in self.tracked:
             seq = t.seq
-            done_status = seq.status in (
-                SequenceStatus.FINISHED, SequenceStatus.ERROR
-            )
-            while t.emitted < seq.num_completion_tokens:
-                t.emitted += 1
-                last = (
-                    t.emitted == seq.num_completion_tokens and done_status
+            try:
+                done_status = seq.status in (
+                    SequenceStatus.FINISHED, SequenceStatus.ERROR
                 )
-                full = self.engine.tokenizer.decode(
-                    seq.completion_token_ids[: t.emitted]
-                )
-                if seq.stop_text_end is not None:
-                    full = full[: seq.stop_text_end]
-                stable = full
-                while not last and stable.endswith("�"):
-                    stable = stable[:-1]
-                delta = (
-                    stable[len(t.prev_text):]
-                    if stable.startswith(t.prev_text) else stable
-                )
-                t.prev_text = stable
-                t.reply.put((delta, t.emitted, None))
-            if done_status:
-                t.reply.put(
-                    (
-                        "",
-                        t.emitted,
-                        seq.finish_reason
+                while t.emitted < seq.num_completion_tokens:
+                    t.emitted += 1
+                    last = (
+                        t.emitted == seq.num_completion_tokens and done_status
+                    )
+                    stable, delta = self.engine.stream_delta(
+                        seq, t.emitted, t.prev_text, last
+                    )
+                    t.prev_text = stable
+                    lp = top = None
+                    if seq.completion_logprobs is not None:
+                        i = t.emitted - 1
+                        if i < len(seq.completion_logprobs):
+                            lp = float(seq.completion_logprobs[i])
+                        if (seq.completion_top_logprobs is not None
+                                and i < len(seq.completion_top_logprobs)):
+                            top = seq.completion_top_logprobs[i]
+                    t.reply.put(Delta(delta, t.emitted, logprob=lp, top=top))
+                if done_status:
+                    t.reply.put(Delta(
+                        "", t.emitted,
+                        finish_reason=seq.finish_reason
                         or ("error" if seq.status == SequenceStatus.ERROR
                             else "stop"),
-                    )
-                )
+                    ))
+                    t.reply.put(_DONE)
+                else:
+                    still.append(t)
+            except Exception as e:  # fail this request, keep the worker
+                logger.exception("delta emission failed for seq %s", seq.seq_id)
+                t.reply.put(e)
                 t.reply.put(_DONE)
-            else:
-                still.append(t)
         self.tracked = still
 
 
@@ -167,14 +185,42 @@ def _build_params(body: dict) -> SamplingParams:
         presence_penalty=float(body.get("presence_penalty", 0.0)),
         repetition_penalty=body.get("repetition_penalty"),
         stop=stop,
-        logprobs=(
-            int(body["top_logprobs"]) if body.get("top_logprobs")
-            else (0 if body.get("logprobs") else None)
-        ),
+        # OpenAI semantics: completions `logprobs` is an INT (top-N);
+        # chat uses `logprobs: bool` + `top_logprobs: int`.
+        logprobs=_parse_logprobs(body),
         ignore_eos=bool(body.get("ignore_eos", False)),
     )
     params.validate()
     return params
+
+
+def _parse_logprobs(body: dict) -> Optional[int]:
+    lp = body.get("logprobs")
+    if lp is None or lp is False:
+        return None
+    if lp is True:  # chat style: pair with top_logprobs (int, may be 0)
+        return int(body.get("top_logprobs") or 0)
+    return int(lp)   # completions style: int = top-N
+
+
+def _chat_lp_entry(token_text: str, lp: float, top) -> dict:
+    entry = {"token": token_text, "logprob": lp}
+    if top:
+        entry["top_logprobs"] = [
+            {"token": str(tid), "logprob": float(v)} for tid, v in top
+        ]
+    return entry
+
+
+def _completions_lp(lps) -> dict:
+    return {
+        "tokens": [tok for tok, _, _ in lps],
+        "token_logprobs": [lp for _, lp, _ in lps],
+        "top_logprobs": [
+            ({str(tid): float(v) for tid, v in top} if top else None)
+            for _, _, top in lps
+        ],
+    }
 
 
 def _chat_to_prompt(tokenizer, messages: List[dict]) -> str:
@@ -183,7 +229,10 @@ def _chat_to_prompt(tokenizer, messages: List[dict]) -> str:
         try:
             return tpl(messages, tokenize=False, add_generation_prompt=True)
         except Exception:
-            pass
+            logger.warning(
+                "chat template failed; falling back to role:content "
+                "formatting (completions may be degraded)", exc_info=True,
+            )
     # Fallback template for tokenizers without a chat template.
     lines = [f"{m.get('role', 'user')}: {m.get('content', '')}"
              for m in messages]
@@ -286,23 +335,25 @@ class _Handler(BaseHTTPRequestHandler):
         seq = first
         rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:24]
         created = int(time.time())
+        want_lp = params.logprobs is not None
         if body.get("stream"):
             self._stream_sse(reply, seq, rid, created, chat)
         else:
-            self._respond_once(reply, seq, rid, created, chat)
+            self._respond_once(reply, seq, rid, created, chat, want_lp)
 
-    def _respond_once(self, reply, seq, rid, created, chat) -> None:
-        text, finish = [], "stop"
+    def _respond_once(self, reply, seq, rid, created, chat, want_lp) -> None:
+        text, finish, lps = [], "stop", []
         while True:
             item = reply.get()
             if item is _DONE:
                 break
             if isinstance(item, Exception):
                 return self._error(500, str(item), "server_error")
-            delta, _, reason = item
-            text.append(delta)
-            if reason is not None:
-                finish = reason
+            text.append(item.text)
+            if item.logprob is not None:
+                lps.append((item.text, item.logprob, item.top))
+            if item.finish_reason is not None:
+                finish = item.finish_reason
         full = "".join(text)
         usage = {
             "prompt_tokens": seq.num_prompt_tokens,
@@ -312,9 +363,15 @@ class _Handler(BaseHTTPRequestHandler):
         if chat:
             choice = {"index": 0, "finish_reason": finish,
                       "message": {"role": "assistant", "content": full}}
+            if want_lp:
+                choice["logprobs"] = {"content": [
+                    _chat_lp_entry(tok, lp, top) for tok, lp, top in lps
+                ]}
             obj = "chat.completion"
         else:
             choice = {"index": 0, "finish_reason": finish, "text": full}
+            if want_lp:
+                choice["logprobs"] = _completions_lp(lps)
             obj = "text_completion"
         self._json(200, {"id": rid, "object": obj, "created": created,
                          "model": self.model_id, "choices": [choice],
@@ -347,16 +404,24 @@ class _Handler(BaseHTTPRequestHandler):
                     break
                 if isinstance(item, Exception):
                     break
-                delta, _, reason = item
-                if delta == "" and reason is None:
+                if item.text == "" and item.finish_reason is None:
                     continue
+                reason = item.finish_reason
                 if chat:
                     choice = {"index": 0, "finish_reason": reason,
-                              "delta": ({"content": delta} if reason is None
-                                        else {})}
+                              "delta": ({"content": item.text}
+                                        if reason is None else {})}
+                    if item.logprob is not None and reason is None:
+                        choice["logprobs"] = {"content": [
+                            _chat_lp_entry(item.text, item.logprob, item.top)
+                        ]}
                 else:
                     choice = {"index": 0, "finish_reason": reason,
-                              "text": delta}
+                              "text": item.text}
+                    if item.logprob is not None and reason is None:
+                        choice["logprobs"] = _completions_lp(
+                            [(item.text, item.logprob, item.top)]
+                        )
                 send_chunk("data: " + json.dumps({
                     "id": rid, "object": obj, "created": created,
                     "model": self.model_id, "choices": [choice],

@@ -33,6 +33,43 @@ def test_config_parses_gemma3():
     assert c.rope_local_base_freq == 10_000.0
 
 
+def test_greedy_matches_hf_nondividing_layers(tmp_path):
+    """Real Gemma-3 checkpoints have layer counts the pattern doesn't
+    divide (1B: 26 = 4*6 + 2); the forward scans whole groups and unrolls
+    the remainder — 8 layers here (one group of 6 + a 2-layer tail)."""
+    d = tmp_path / "gemma3_rem"
+    cfg = transformers.Gemma3TextConfig(
+        **dict(TINY, num_hidden_layers=8), attn_implementation="eager"
+    )
+    torch.manual_seed(1)
+    model = transformers.Gemma3ForCausalLM(cfg).to(torch.float32).eval()
+    model.save_pretrained(d, safe_serialization=True)
+    rng = np.random.RandomState(8)
+    prompt = rng.randint(0, TINY["vocab_size"], size=2 * SW).tolist()
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.tensor([prompt]), max_new_tokens=8, do_sample=False,
+            eos_token_id=None, pad_token_id=0,
+        )
+    ref = hf_out[0, len(prompt):].tolist()
+
+    from nanovllm_tpu import Config, SamplingParams
+    from nanovllm_tpu.engine.llm_engine import LLMEngine
+
+    engine = LLMEngine(Config(
+        model_path=str(d), dtype="float32", kvcache_block_size=16,
+        num_kvcache_blocks=48, max_model_len=256, decode_window=4,
+    ))
+    seq = engine.add_request(
+        "", SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    )
+    seq.token_ids = list(prompt)
+    seq.num_prompt_tokens = seq.num_tokens = len(prompt)
+    while not engine.is_finished():
+        engine.step()
+    assert seq.completion_token_ids == ref
+
+
 def test_greedy_matches_hf(tmp_path):
     d = tmp_path / "gemma3"
     cfg = transformers.Gemma3TextConfig(**TINY, attn_implementation="eager")

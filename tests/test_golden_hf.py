@@ -145,6 +145,41 @@ class TestGoldenLogits:
         assert seq.completion_token_ids == ref_new
 
 
+class TestLinearRope:
+    """HF "linear" rope_scaling is position interpolation (inv_freq /
+    factor), not base scaling — pinned against HF transformers with a
+    factor that separates the two curves (code review r3; Gemma 3's
+    global layers ship linear factor 8)."""
+
+    def test_linear_logits_match_hf(self, tmp_path):
+        import json as _json
+        import os as _os
+
+        d = tmp_path / "hf_qwen3_linear"
+        cfg = transformers.Qwen3Config(
+            **TINY, attention_bias=False, use_cache=False,
+            rope_scaling={"rope_type": "linear", "factor": 4.0},
+        )
+        torch.manual_seed(9)
+        model = transformers.Qwen3ForCausalLM(cfg).to(torch.float32).eval()
+        model.save_pretrained(d, safe_serialization=True)
+        with open(_os.path.join(d, "config.json")) as f:
+            saved = _json.load(f)
+        saved["model_type"] = "qwen3"
+        with open(_os.path.join(d, "config.json"), "w") as f:
+            _json.dump(saved, f)
+
+        rng = np.random.RandomState(4)
+        prompts = [rng.randint(0, TINY["vocab_size"], size=n).tolist()
+                   for n in (13, 70)]
+        ours = _our_logits(str(d), prompts)
+        for i, ids in enumerate(prompts):
+            with torch.no_grad():
+                out = model(torch.tensor([ids]))
+            ref = out.logits[0, -1].numpy()
+            np.testing.assert_allclose(ours[i], ref, rtol=2e-3, atol=2e-3)
+
+
 class TestYarnRope:
     """YaRN long-context scaling (Qwen3's documented >32k mode, beyond the
     reference's linear base-scaling hook) must match HF transformers'

@@ -122,6 +122,31 @@ def test_streaming_sse(served):
     assert isinstance(text, str)
 
 
+def test_completions_logprobs(served):
+    """OpenAI completions semantics: integer `logprobs` = top-N; the
+    response carries per-token logprobs (code review r3 — previously
+    misparsed and never returned)."""
+    code, data = _request(served, "POST", "/v1/completions", {
+        "prompt": "lp check", "max_tokens": 3, "temperature": 0.0,
+        "logprobs": 2, "ignore_eos": True,
+    })
+    assert code == 200, data
+    lp = json.loads(data)["choices"][0]["logprobs"]
+    assert len(lp["token_logprobs"]) == 3
+    assert all(isinstance(v, float) and v <= 0.0 for v in lp["token_logprobs"])
+    assert all(t and len(t) == 2 for t in lp["top_logprobs"])
+
+    code, data = _request(served, "POST", "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 2, "temperature": 0.0, "logprobs": True,
+        "top_logprobs": 1, "ignore_eos": True,
+    })
+    assert code == 200, data
+    content = json.loads(data)["choices"][0]["logprobs"]["content"]
+    assert len(content) == 2 and "logprob" in content[0]
+    assert len(content[0]["top_logprobs"]) == 1
+
+
 def test_bad_requests(served):
     code, data = _request(served, "POST", "/v1/completions", {
         "prompt": "x", "temperature": -2.0,

@@ -53,13 +53,21 @@ def test_config_parses_sliding_window(tmp_path):
         dict(base, sliding_window=SW)).sliding_window == SW
     assert Qwen3Config.from_hf_llama(
         dict(base, sliding_window=None)).sliding_window is None
-    # Qwen2/Qwen3 gate behind use_sliding_window.
+    # Qwen2/Qwen3 gate behind use_sliding_window, whose HF default is
+    # FALSE — a config omitting the key (HF drops saved defaults) must not
+    # enable local attention HF would ignore.
     assert Qwen3Config.from_hf_qwen2(
         dict(base, sliding_window=SW, use_sliding_window=False)
     ).sliding_window is None
     assert Qwen3Config.from_hf_qwen2(
         dict(base, sliding_window=SW, use_sliding_window=True)
     ).sliding_window == SW
+    assert Qwen3Config.from_hf_qwen2(
+        dict(base, sliding_window=32768)
+    ).sliding_window is None
+    assert Qwen3Config.from_hf(
+        dict(base, sliding_window=32768)
+    ).sliding_window is None
 
 
 def test_greedy_matches_hf_mistral(tmp_path):
@@ -161,6 +169,63 @@ def test_release_below_window(backend):
     bm.register_decode_progress(seq)
     bm.deallocate(seq)
     assert bm.num_free_blocks() == 16
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_eviction_never_registers_position0_alias(backend):
+    """Regression (code review r3): after eviction breaks the hash chain,
+    a later full block must NOT register with prefix 0 — that would alias
+    a mid-sequence block to a position-0 chain start, and a later prompt
+    starting with those tokens would cache-hit KV computed at the wrong
+    RoPE positions."""
+    from nanovllm_tpu.engine.block_manager import compute_hash
+    from nanovllm_tpu.native import create_block_manager, native_available
+
+    if backend == "native" and not native_available():
+        pytest.skip("native block manager unavailable")
+    bm = create_block_manager(num_blocks=16, block_size=4,
+                              enable_prefix_caching=True, backend=backend)
+
+    class FakeSeq:
+        seq_id = 1
+        token_ids = list(range(100, 120))  # 20 tokens, 5 blocks
+        block_table: list = []
+        num_cached_tokens = 0
+        prefix_hit_block_ids: set = set()
+
+        def __len__(self):
+            return len(self.token_ids)
+
+        def num_blocks(self):
+            return (len(self.token_ids) + 3) // 4
+
+        def total_len(self):
+            return len(self.token_ids)
+
+        def get_block_tokens(self, idx):
+            return self.token_ids[idx * 4:(idx + 1) * 4]
+
+    seq = FakeSeq()
+    bm.allocate(seq)
+    # Evict blocks 0-1 BEFORE they were registered (their chain is gone),
+    # then register progress: block 2 (tokens 108..111 at positions 8..11)
+    # must not take the identity of a POSITION-0 block of those tokens.
+    bm.release_below_window(seq, keep_from_pos=8)
+    bm.register_decode_progress(seq)
+
+    class Probe(FakeSeq):
+        seq_id = 2
+        token_ids = list(range(108, 112)) + [1, 2]  # starts with 108..111
+        block_table = []
+        prefix_hit_block_ids = set()
+
+    probe = Probe()
+    bm.allocate(probe)
+    assert probe.num_cached_tokens == 0, (
+        "position-0 alias cache hit on KV computed at positions 8..11"
+    )
+    bm.deallocate(probe)
+    bm.deallocate(seq)
 
 
 def test_eviction_bounds_kv_and_preserves_outputs(tmp_path):
