@@ -386,6 +386,10 @@ int64_t nvbm_allocate(void* h, const int64_t* tokens, int64_t n_tokens,
                                                  out_cached, out_hits);
 }
 
+void nvbm_wipe_identity(void* h, int64_t id) {
+  static_cast<BlockManager*>(h)->wipe_identity(id);
+}
+
 int64_t nvbm_release_below(void* h, const int64_t* table, int64_t last) {
   return static_cast<BlockManager*>(h)->release_below(table, last);
 }

@@ -66,6 +66,12 @@ class Config:
     # whole blocks) and OFF for bf16 caches (9.5k vs 6.4k the other way —
     # bf16 staging traffic outweighs the commit savings). True/False force.
     window_commit: object = "auto"
+    # Chunked prefill: a prompt whose un-prefilled remainder exceeds the
+    # step's token budget is processed in block-aligned chunks across
+    # steps instead of one oversized dispatch — per-step work stays
+    # bounded by max_num_batched_tokens (bounded decode stalls, bounded
+    # jit bucket sizes). Outputs are identical either way.
+    enable_chunked_prefill: bool = True
     # Sliding-window rolling-buffer KV eviction: for models with local
     # attention (Mistral/Qwen2 sliding_window), free KV blocks that fall
     # entirely below every future query's attention window — per-sequence

@@ -244,6 +244,18 @@ class BlockManager:
         seq.block_table = []
         seq.num_cached_tokens = 0
 
+    def defer_identities_beyond(self, seq: Sequence, pos: int) -> None:
+        """Chunked prefill: blocks covering positions >= pos have no
+        committed KV until a later chunk lands; drop their optimistic
+        allocate-time identities so no other request cache-hits garbage.
+        Re-registered chunk by chunk via register_decode_progress(seq,
+        n_tokens=processed+1). Prefix-cache HIT blocks keep theirs (their
+        KV is real)."""
+        for idx in range(pos // self.block_size, len(seq.block_table)):
+            bid = seq.block_table[idx]
+            if bid >= 0 and bid not in seq.prefix_hit_block_ids:
+                self._wipe_identity(bid)
+
     def release_below_window(self, seq: Sequence, keep_from_pos: int) -> int:
         """Sliding-window rolling buffer: free whole blocks covering only
         positions < keep_from_pos — with local attention those keys can
@@ -321,7 +333,8 @@ class BlockManager:
             seq.block_table.append(block.block_id)
         self.register_decode_progress(seq)
 
-    def register_decode_progress(self, seq: Sequence) -> None:
+    def register_decode_progress(self, seq: Sequence,
+                                 n_tokens: Optional[int] = None) -> None:
         """Bring block contents/hashes in sync with seq.token_ids: full
         blocks get their chained hash registered (becoming prefix-cache
         reusable, reference: block_manager.rs:283-304), the trailing partial
@@ -329,8 +342,12 @@ class BlockManager:
         (ref_count > 1) were hashed when first filled and are skipped."""
         # The final appended token of a window is only the NEXT window's
         # input — its KV isn't written and its block may not be reserved yet,
-        # so sync no further than the current table.
-        nb = min(seq.num_blocks(), len(seq.block_table))
+        # so sync no further than the current table. n_tokens overrides the
+        # committed-token horizon (chunked prefill passes processed+1 so
+        # blocks fully below the chunk end become hashable).
+        if n_tokens is None:
+            n_tokens = len(seq)
+        nb = min(-(-n_tokens // self.block_size), len(seq.block_table))
         if nb == 0:
             return
         # Only the tail can have changed since the last sync; scan back to
@@ -363,7 +380,7 @@ class BlockManager:
             if (
                 len(tokens) == self.block_size
                 and self.enable_prefix_caching
-                and (idx + 1) * self.block_size < len(seq)
+                and (idx + 1) * self.block_size < n_tokens
             ):
                 # A block's identity must chain from a HASHED predecessor:
                 # registering with prefix 0 would alias a mid-sequence

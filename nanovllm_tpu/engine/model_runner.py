@@ -296,9 +296,17 @@ class ModelRunner:
     # ------------------------------------------------------------------
     # Batch preparation (reference: model_runner.rs:172-300)
     # ------------------------------------------------------------------
+    @staticmethod
+    def _prefill_span(s: Sequence):
+        """(start, end) prompt positions this dispatch computes: the whole
+        un-prefilled remainder, or the current chunk (chunked prefill)."""
+        start = max(s.num_cached_tokens, s.num_processed_tokens)
+        end = s.prefill_chunk_end if s.prefill_chunk_end is not None else len(s)
+        return start, end
+
     def _prefill_buckets(self, seqs: List[Sequence]):
         num_seqs = len(seqs)
-        q_lens = [len(s) - s.num_cached_tokens for s in seqs]
+        q_lens = [e - b for b, e in map(self._prefill_span, seqs)]
         max_blocks = max(len(s.block_table) for s in seqs)
         if self.config.enforce_eager:
             return sum(q_lens), num_seqs, max_blocks, max(q_lens)
@@ -499,14 +507,17 @@ class ModelRunner:
             )
         self._note_shape(("prefill", fkey, T, S, MAXBLK, Q, samp.buf.shape[1]))
 
-        seqs_meta = [
-            {
-                "token_ids": s.token_ids,
-                "num_cached": s.num_cached_tokens,
+        seqs_meta = []
+        for s in seqs:
+            start, end = self._prefill_span(s)
+            seqs_meta.append({
+                # Chunked prefill: compute tokens [start, end) with history
+                # [0, start) — identical metadata shape to a prefix-cached
+                # prefill, so the kernels need no new path.
+                "token_ids": s.token_ids[:end],
+                "num_cached": start,
                 "block_table": s.block_table,
-            }
-            for s in seqs
-        ]
+            })
         tokens, meta = build_metadata(seqs_meta, self.block_size, T, S, MAXBLK, Q)
         toks, lp_dev, self.k_cache, self.v_cache = self._prefill_fns[fkey](
             self.params, self.k_cache, self.v_cache, tokens, meta, samp, key

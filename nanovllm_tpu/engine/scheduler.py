@@ -124,7 +124,9 @@ class Scheduler:
         if prefill:
             self.num_prefill_batches += 1
             self.total_prefill_tokens += sum(
-                len(s) - s.num_cached_tokens for s in prefill
+                (s.prefill_chunk_end or len(s))
+                - max(s.num_cached_tokens, s.num_processed_tokens)
+                for s in prefill
             )
             return prefill, True
         decode = self._schedule_decode(decode_window)
@@ -140,7 +142,9 @@ class Scheduler:
             if prefill:
                 self.num_prefill_batches += 1
                 self.total_prefill_tokens += sum(
-                    len(s) - s.num_cached_tokens for s in prefill
+                    (s.prefill_chunk_end or len(s))
+                    - max(s.num_cached_tokens, s.num_processed_tokens)
+                    for s in prefill
                 )
                 return prefill, True
         return [], False
@@ -173,27 +177,75 @@ class Scheduler:
                 self.failed.append(seq)
                 self.num_finished += 1
                 continue
-            if not self.block_manager.can_allocate(seq):
-                break
-            self.block_manager.allocate(seq)
-            new_tokens = len(seq) - seq.num_cached_tokens
-            if batched_tokens + new_tokens > self.max_num_batched_tokens and scheduled:
-                # Doesn't fit this batch; undo and stop (it stays first in
-                # line). undo_allocate (not deallocate): the fresh blocks'
-                # KV was never computed, so their hash identity must die
-                # with them or the next allocate would cache-hit poison.
-                self.block_manager.undo_allocate(seq)
-                break
-            self.waiting.popleft()
-            batched_tokens += new_tokens
-            seq.status = SequenceStatus.RUNNING
-            if seq.admission_time is None:
-                import time as _time
+            fresh_alloc = False
+            if not seq.block_table:
+                if not self.block_manager.can_allocate(seq):
+                    break
+                self.block_manager.allocate(seq)
+                fresh_alloc = True
+            processed = max(seq.num_cached_tokens, seq.num_processed_tokens)
+            new_tokens = len(seq) - processed
+            budget_left = self.max_num_batched_tokens - batched_tokens
+            if new_tokens > budget_left:
+                bs = self.block_manager.block_size
+                chunk = (budget_left // bs) * bs
+                if (
+                    self.config.enable_chunked_prefill
+                    and chunk >= bs
+                ):
+                    # Chunked prefill: process [processed, processed+chunk)
+                    # this step; the sequence stays at the FRONT of waiting
+                    # (num_pending blocks re-scheduling until the chunk
+                    # lands). Block-aligned chunks keep the whole-block
+                    # prefill commit and prefix-cache hashing exact.
+                    chunk_end = processed + chunk
+                    seq.prefill_chunk_end = chunk_end
+                    if fresh_alloc:
+                        # Allocate registered identities for ALL fresh full
+                        # blocks optimistically (safe when prefill commits
+                        # in the same dispatch). Blocks beyond this chunk
+                        # stay uncommitted for steps — another request
+                        # could cache-hit garbage KV. Drop them now;
+                        # postprocess re-registers as chunks commit.
+                        self.block_manager.defer_identities_beyond(
+                            seq, chunk_end
+                        )
+                    if seq.admission_time is None:
+                        import time as _time
 
-                seq.admission_time = _time.monotonic()
-            self.running.append(seq)
-            scheduled.append(seq)
+                        seq.admission_time = _time.monotonic()
+                    batched_tokens += chunk
+                    scheduled.append(seq)
+                elif not scheduled:
+                    # Lone over-budget request that can't chunk (chunking
+                    # off, or the whole budget is below one block): admit
+                    # whole — one oversized dispatch beats a livelock.
+                    self._admit(seq, scheduled)
+                    batched_tokens += new_tokens
+                elif fresh_alloc:
+                    # Doesn't fit this batch; undo and stop (it stays first
+                    # in line). undo_allocate (not deallocate): the fresh
+                    # blocks' KV was never computed, so their hash identity
+                    # must die with them or the next allocate would
+                    # cache-hit poison.
+                    self.block_manager.undo_allocate(seq)
+                break  # budget exhausted either way
+            self._admit(seq, scheduled)
+            batched_tokens += new_tokens
         return scheduled
+
+    def _admit(self, seq: Sequence, scheduled: List[Sequence]) -> None:
+        """Move the queue-front sequence into running (whole prompt or the
+        FINAL chunk of a chunked prefill is being dispatched)."""
+        self.waiting.popleft()
+        seq.prefill_chunk_end = None
+        seq.status = SequenceStatus.RUNNING
+        if seq.admission_time is None:
+            import time as _time
+
+            seq.admission_time = _time.monotonic()
+        self.running.append(seq)
+        scheduled.append(seq)
 
     # ------------------------------------------------------------------
     # Decode + preemption (reference: scheduler.rs:171-231)
@@ -280,6 +332,18 @@ class Scheduler:
             )
             if seq.status in (SequenceStatus.FINISHED, SequenceStatus.ERROR):
                 continue  # zombie window of an already-completed request
+            if seq.prefill_chunk_end is not None:
+                # Chunked prefill landed: KV for [processed, chunk_end) is
+                # committed; the dispatch's sampled token predicts a token
+                # that ALREADY EXISTS in the prompt — discard it. Register
+                # the newly committed full blocks' prefix-cache identities
+                # (deferred at allocate).
+                seq.num_processed_tokens = seq.prefill_chunk_end
+                seq.prefill_chunk_end = None
+                self.block_manager.register_decode_progress(
+                    seq, n_tokens=seq.num_processed_tokens + 1
+                )
+                continue
             stopped = False
             for token_id in window_tokens:
                 seq.append_token(int(token_id))
@@ -334,6 +398,14 @@ class Scheduler:
     def preempt_all(self) -> None:
         while self.running:
             self._preempt(self.running.pop())
+        # Mid-prefill sequences sit in WAITING with allocated blocks
+        # (chunked prefill); release those too so shutdown/drain leaves
+        # the pool empty. They re-prefill from scratch when resumed.
+        for seq in self.waiting:
+            if seq.block_table:
+                self.block_manager.deallocate(seq)
+                seq.num_processed_tokens = 0
+                seq.prefill_chunk_end = None
 
     # ------------------------------------------------------------------
     # Stats (reference: scheduler.rs:276-364)

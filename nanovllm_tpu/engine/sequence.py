@@ -87,6 +87,12 @@ class Sequence:
         # drain. No reference counterpart — the reference engine is fully
         # synchronous (llm_engine.rs:155-197).
         self.num_pending: int = 0
+        # Chunked prefill: prompt tokens whose KV is committed so far, and
+        # the end position of the chunk currently dispatched (None when not
+        # mid-prefill). A sequence is mid-prefill while it sits in the
+        # waiting queue with an allocated block table.
+        self.num_processed_tokens: int = 0
+        self.prefill_chunk_end = None
         self.num_preemptions: int = 0
         self.arrival_time: float = time.monotonic()
         # First time the scheduler admitted this request (WAITING->RUNNING):
@@ -182,6 +188,8 @@ class Sequence:
         self.status = SequenceStatus.PREEMPTED
         self.block_table = []
         self.num_cached_tokens = 0
+        self.num_processed_tokens = 0
+        self.prefill_chunk_end = None
         self.num_preemptions += 1
 
     def create_output(self, text: str = "") -> SequenceOutput:

@@ -78,6 +78,7 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.nvbm_deallocate.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64]
         lib.nvbm_release_below.restype = ctypes.c_int64
         lib.nvbm_release_below.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64]
+        lib.nvbm_wipe_identity.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.nvbm_undo_allocate.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64, U8P]
         lib.nvbm_reserve.restype = ctypes.c_int64
         lib.nvbm_reserve.argtypes = [ctypes.c_void_p, I64P, ctypes.c_int64]
@@ -204,13 +205,27 @@ class NativeBlockManager:
             seq.block_table.extend(out_new)
         self.register_decode_progress(seq)
 
-    def register_decode_progress(self, seq) -> None:
+    def register_decode_progress(self, seq, n_tokens=None) -> None:
         if not seq.block_table:
             return
+        # n_tokens bounds the committed-token horizon (chunked prefill
+        # passes processed+1); the C++ kernel takes it explicitly.
+        n = len(seq.token_ids) if n_tokens is None else min(
+            n_tokens, len(seq.token_ids)
+        )
         self._lib.nvbm_register_progress(
-            self._h, _arr(seq.token_ids), len(seq.token_ids),
+            self._h, _arr(seq.token_ids[:n]), n,
             _arr(seq.block_table), len(seq.block_table),
         )
+
+    def defer_identities_beyond(self, seq, pos: int) -> None:
+        """Chunked prefill (see
+        engine.block_manager.BlockManager.defer_identities_beyond)."""
+        hit_ids = getattr(seq, "prefix_hit_block_ids", set())
+        for idx in range(pos // self.block_size, len(seq.block_table)):
+            bid = seq.block_table[idx]
+            if bid >= 0 and bid not in hit_ids:
+                self._lib.nvbm_wipe_identity(self._h, bid)
 
     def get_stats(self):
         from nanovllm_tpu.engine.block_manager import BlockManagerStats
