@@ -122,6 +122,14 @@ class Config:
     # (cpp/block_manager.cc via ctypes) when buildable, else pure Python;
     # "native" / "python" force one.
     block_manager_backend: str = "auto"
+    # Penalty/seed token-history ring size cap. None (default) sizes the
+    # ring from the live context so repetition/frequency/presence penalties
+    # are EXACT at any length — at the cost of a [batch, next_pow2(context)]
+    # host build + transfer per decode window (e.g. ~40 MB/window at 32k
+    # context x 256 seqs). Setting a cap bounds that cost; penalties then
+    # consider only the most recent N tokens (an explicit, validated
+    # approximation — never a silent one).
+    penalty_history_window: Optional[int] = None
     # Multi-host serving (replicated-deterministic control plane,
     # docs/multihost.md): when jax.process_count() > 1, new requests are
     # broadcast from the rank-0 frontend at deterministic sync points — when
@@ -180,6 +188,11 @@ class Config:
             raise ValueError(f"decode_window must be >= 1, got {self.decode_window}")
         if self.pipeline_depth < 1:
             raise ValueError(f"pipeline_depth must be >= 1, got {self.pipeline_depth}")
+        if self.penalty_history_window is not None and self.penalty_history_window < 16:
+            raise ValueError(
+                "penalty_history_window must be >= 16 (or None for exact), "
+                f"got {self.penalty_history_window}"
+            )
         if self.shared_prefix_attention not in ("auto", True, False):
             raise ValueError(
                 "shared_prefix_attention must be 'auto', True, or False, "

@@ -370,16 +370,27 @@ class LLMEngine:
                 and seq.sampling_params.stop
                 and seq.num_completion_tokens > 0
             ):
-                text = self._detokenize(seq)
-                cut = min(
-                    (p for p in (text.find(s) for s in seq.sampling_params.stop)
-                     if p >= 0),
-                    default=-1,
-                )
-                if cut >= 0:
-                    seq.stop_text_end = cut
-                    self.scheduler.finish_stopped(seq)
-                    finished.append(seq)
+                stops = seq.sampling_params.stop
+                # O(window) per window, not O(completion): decode only the
+                # new tokens plus an overlap covering the longest stop
+                # string (a match must include a new token; each token
+                # decodes to >= 1 char, +8 guards split-point UTF-8
+                # artifacts). Full decode only on a hit, to place the cut
+                # exactly in the full text — at most once per sequence.
+                margin = max(len(s) for s in stops) + 8
+                start_tok = max(0, min(seq.stop_checked_tokens, seq.num_completion_tokens) - margin)
+                tail = self.tokenizer.decode(seq.completion_token_ids[start_tok:])
+                seq.stop_checked_tokens = seq.num_completion_tokens
+                if any(s in tail for s in stops):
+                    text = self._detokenize(seq)
+                    cut = min(
+                        (p for p in (text.find(s) for s in stops) if p >= 0),
+                        default=-1,
+                    )
+                    if cut >= 0:
+                        seq.stop_text_end = cut
+                        self.scheduler.finish_stopped(seq)
+                        finished.append(seq)
         for seq in finished:
             outputs.append(seq.create_output(self._detokenize(seq)))
 
@@ -436,8 +447,26 @@ class LLMEngine:
         stable = full
         while not done and stable.endswith("\ufffd"):
             stable = stable[:-1]
-        delta = stable[len(prev_text):] if stable.startswith(prev_text) else stable
-        return stable, delta
+        if not done and seq.stop_text_end is None and seq.sampling_params.stop:
+            # Hold back any trailing text that could be the start of a stop
+            # string: a match completing in a later decode window truncates
+            # the completion, and text already emitted cannot be un-emitted.
+            hold = 0
+            for s in seq.sampling_params.stop:
+                for k in range(min(len(s), len(stable)), 0, -1):
+                    if stable.endswith(s[:k]):
+                        hold = max(hold, k)
+                        break
+            if hold:
+                stable = stable[:-hold]
+        if stable.startswith(prev_text):
+            return stable, stable[len(prev_text):]
+        if prev_text.startswith(stable):
+            # Regression (a stop match truncated below already-emitted text,
+            # possible for pre-holdback streams): emit nothing rather than
+            # duplicating the whole completion.
+            return prev_text, ""
+        return stable, stable
 
 
     async def generate_stream(

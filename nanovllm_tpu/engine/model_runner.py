@@ -371,6 +371,10 @@ class ModelRunner:
                 max(s.total_len() for s in seqs) + self.config.decode_window,
                 lo=16,
             )
+            if self.config.penalty_history_window is not None:
+                # Explicit opt-in cost bound: penalties consider only the
+                # most recent N tokens (Config.penalty_history_window).
+                P = min(P, _next_pow2(self.config.penalty_history_window, lo=16))
             buf = np.full((S, P), -1, np.int32)
             gen_mask = np.zeros((S, P), bool)
             cursor = np.zeros((S,), np.int32)

@@ -353,13 +353,7 @@ class Scheduler:
                     break
             if stopped:
                 seq.finish()
-                self.block_manager.deallocate(seq)
-                for q in (self.running, self.waiting):
-                    try:
-                        q.remove(seq)
-                    except ValueError:
-                        pass
-                self.num_finished += 1
+                self._release_finished(seq)
                 finished.append(seq)
             elif seq.status == SequenceStatus.RUNNING:
                 self.block_manager.register_decode_progress(seq)
@@ -384,6 +378,10 @@ class Scheduler:
             return
         seq.finish()
         seq.finish_reason = reason
+        self._release_finished(seq)
+
+    def _release_finished(self, seq: Sequence) -> None:
+        """Shared finish bookkeeping: free blocks, dequeue, count."""
         self.block_manager.deallocate(seq)
         for q in (self.running, self.waiting):
             try:

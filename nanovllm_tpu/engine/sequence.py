@@ -105,6 +105,9 @@ class Sequence:
         # text where the output truncates (the match start — the stop
         # string itself is excluded, OpenAI-style).
         self.stop_text_end: Optional[int] = None
+        # Completion tokens already scanned for stop strings (the engine's
+        # per-window check decodes only the tail past here + an overlap).
+        self.stop_checked_tokens: int = 0
         # Per-completion-token logprobs (attached by the engine when
         # SamplingParams.logprobs is set; truncated like the tokens).
         self.completion_logprobs: Optional[list] = None

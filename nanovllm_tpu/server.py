@@ -79,6 +79,19 @@ class EngineWorker(threading.Thread):
     def abort(self, seq_id: int) -> None:
         self.commands.put(("abort", seq_id, None, None))
 
+    def query(self, kind: str, timeout: float = 10.0):
+        """Run an engine introspection call (`health`/`stats`) ON the worker
+        thread and return its result. Handler threads must never touch the
+        engine directly: the native block manager's ctypes calls release
+        the GIL, so a concurrent get_stats() during allocate() would race
+        inside C++ containers."""
+        reply: "queue.Queue" = queue.Queue()
+        self.commands.put((kind, None, None, reply))
+        out = reply.get(timeout=timeout)
+        if isinstance(out, Exception):
+            raise out
+        return out
+
     def shutdown(self) -> None:
         self._stop.set()
         self.commands.put(("noop", None, None, None))
@@ -123,6 +136,14 @@ class EngineWorker(threading.Thread):
                     self.engine.abort_request(a)
                 except Exception:
                     logger.exception("abort failed")
+            elif kind in ("health", "stats"):
+                try:
+                    reply.put(
+                        self.engine.health_check() if kind == "health"
+                        else self.engine.get_stats()
+                    )
+                except Exception as e:
+                    reply.put(e)
             try:
                 cmd = self.commands.get_nowait()
             except queue.Empty:
@@ -152,7 +173,11 @@ class EngineWorker(threading.Thread):
                             lp = float(seq.completion_logprobs[i])
                         if (seq.completion_top_logprobs is not None
                                 and i < len(seq.completion_top_logprobs)):
-                            top = seq.completion_top_logprobs[i]
+                            # OpenAI responses carry token TEXT; the
+                            # library-level lists carry ids (tid, logprob).
+                            dec = self.engine.tokenizer.decode
+                            top = [(dec([tid]), float(v))
+                                   for tid, v in seq.completion_top_logprobs[i]]
                     t.reply.put(Delta(delta, t.emitted, logprob=lp, top=top))
                 if done_status:
                     t.reply.put(Delta(
@@ -204,10 +229,12 @@ def _parse_logprobs(body: dict) -> Optional[int]:
 
 
 def _chat_lp_entry(token_text: str, lp: float, top) -> dict:
+    """`top` entries arrive as (token_text, logprob) — decoded by the
+    engine worker (OpenAI clients expect token text, not id strings)."""
     entry = {"token": token_text, "logprob": lp}
     if top:
         entry["top_logprobs"] = [
-            {"token": str(tid), "logprob": float(v)} for tid, v in top
+            {"token": t, "logprob": float(v)} for t, v in top
         ]
     return entry
 
@@ -217,7 +244,7 @@ def _completions_lp(lps) -> dict:
         "tokens": [tok for tok, _, _ in lps],
         "token_logprobs": [lp for _, lp, _ in lps],
         "top_logprobs": [
-            ({str(tid): float(v) for tid, v in top} if top else None)
+            ({t: float(v) for t, v in top} if top else None)
             for _, _, top in lps
         ],
     }
@@ -273,18 +300,17 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- routes -----------------------------------------------------------
     def do_GET(self):
-        eng = self.worker.engine
         if self.path == "/v1/models":
             self._json(200, {"object": "list", "data": [
                 {"id": self.model_id, "object": "model",
                  "owned_by": "nanovllm-tpu"}]})
         elif self.path == "/health":
-            h = eng.health_check()
+            h = self.worker.query("health")
             self._json(200 if h.healthy else 503, {
                 "healthy": h.healthy, "memory_utilization": h.memory_utilization,
             })
         elif self.path == "/stats":
-            st = eng.get_stats()
+            st = self.worker.query("stats")
             self._json(200, {
                 "running": st.scheduler.num_running,
                 "waiting": st.scheduler.num_waiting,

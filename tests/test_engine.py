@@ -529,3 +529,41 @@ class TestStopStrings:
         assert p.stop == ("END",)
         with pytest.raises(ValueError):
             SamplingParams(stop=[""]).validate()
+
+    def test_stream_stop_string_never_duplicates(self, model_dir):
+        """A stop string completing in a LATER decode window than the text
+        it truncates used to make stream_delta re-emit the whole completion
+        (the truncated stable text no longer extended prev_text). Streamed
+        deltas must concatenate to exactly the non-streamed output for
+        markers at every window phase."""
+        import asyncio
+
+        eng = mkengine(model_dir, decode_window=4)
+        base = eng.generate(
+            ["stop me"], SamplingParams(temperature=0.0, max_tokens=24,
+                                        ignore_eos=True))[0]
+        assert base.num_completion_tokens == 24
+        tried = 0
+        for off in range(2, len(base.text) - 6):
+            marker = base.text[off: off + 5]
+            if not marker:
+                continue
+            tried += 1
+            if tried > 6:
+                break
+            params = SamplingParams(temperature=0.0, max_tokens=24,
+                                    ignore_eos=True, stop=[marker])
+            ref = eng.generate(["stop me"], params)[0]
+            assert marker not in ref.text
+
+            async def run():
+                parts = []
+                async for out in eng.generate_stream("stop me", params):
+                    parts.append(out.text)
+                return "".join(parts)
+
+            streamed = asyncio.run(run())
+            assert streamed == ref.text, (
+                f"marker {marker!r}: streamed {streamed!r} != {ref.text!r}"
+            )
+        assert tried >= 3

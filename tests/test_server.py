@@ -135,6 +135,9 @@ def test_completions_logprobs(served):
     assert len(lp["token_logprobs"]) == 3
     assert all(isinstance(v, float) and v <= 0.0 for v in lp["token_logprobs"])
     assert all(t and len(t) == 2 for t in lp["top_logprobs"])
+    # top_logprobs keys are decoded token TEXT (OpenAI format), not id
+    # strings — the byte tokenizer decodes every id to exactly one char.
+    assert all(len(k) == 1 for t in lp["top_logprobs"] for k in t)
 
     code, data = _request(served, "POST", "/v1/chat/completions", {
         "messages": [{"role": "user", "content": "hi"}],
