@@ -42,6 +42,9 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
 def _add_sampling_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--max-tokens", type=int, default=128)
+    p.add_argument("--min-tokens", type=int, default=0,
+                   help="suppress EOS/stop-string finishes until this many "
+                        "completion tokens exist")
     p.add_argument("--top-p", type=float, default=None)
     p.add_argument("--top-k", type=int, default=None)
     p.add_argument("--repetition-penalty", type=float, default=None)
@@ -97,6 +100,7 @@ def _sampling(args):
     return SamplingParams(
         temperature=args.temperature,
         max_tokens=args.max_tokens,
+        min_tokens=getattr(args, "min_tokens", 0),
         top_p=args.top_p,
         top_k=args.top_k,
         repetition_penalty=args.repetition_penalty,

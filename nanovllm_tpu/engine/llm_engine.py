@@ -369,6 +369,10 @@ class LLMEngine:
                 seq.status == SequenceStatus.RUNNING
                 and seq.sampling_params.stop
                 and seq.num_completion_tokens > 0
+                # min_tokens delays stop-string checking (the first scan
+                # after it is reached covers the whole backlog — the tail
+                # below starts at stop_checked_tokens).
+                and seq.num_completion_tokens >= seq.sampling_params.min_tokens
             ):
                 stops = seq.sampling_params.stop
                 # O(window) per window, not O(completion): decode only the

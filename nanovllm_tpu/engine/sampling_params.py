@@ -22,6 +22,10 @@ _TOP_K_MAX = 256
 class SamplingParams:
     temperature: float = 1.0
     max_tokens: int = 64
+    # Minimum completion tokens before ANY stop condition (EOS token or
+    # stop strings) may finish the request (vLLM-style min_tokens). Length
+    # caps (max_tokens/max_model_len) still apply.
+    min_tokens: int = 0
     ignore_eos: bool = False
     top_p: Optional[float] = None
     top_k: Optional[int] = None
@@ -60,6 +64,9 @@ class SamplingParams:
     def with_max_tokens(self, n: int) -> "SamplingParams":
         return replace(self, max_tokens=n)
 
+    def with_min_tokens(self, n: int) -> "SamplingParams":
+        return replace(self, min_tokens=n)
+
     def with_ignore_eos(self, b: bool = True) -> "SamplingParams":
         return replace(self, ignore_eos=b)
 
@@ -97,6 +104,10 @@ class SamplingParams:
             raise ValueError(f"temperature must be >= 0, got {self.temperature}")
         if self.max_tokens <= 0:
             raise ValueError(f"max_tokens must be positive, got {self.max_tokens}")
+        if not (0 <= self.min_tokens <= self.max_tokens):
+            raise ValueError(
+                f"min_tokens must be in [0, max_tokens], got {self.min_tokens}"
+            )
         if self.top_p is not None and not (0.0 < self.top_p <= 1.0):
             raise ValueError(f"top_p must be in (0, 1], got {self.top_p}")
         if self.top_k is not None and self.top_k <= 0:

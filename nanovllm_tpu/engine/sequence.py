@@ -171,6 +171,8 @@ class Sequence:
             and self.num_completion_tokens > 0
             and self.last_token == eos_token_id
             and not self.sampling_params.ignore_eos
+            # min_tokens suppresses EOS (not length caps) until reached.
+            and self.num_completion_tokens >= self.sampling_params.min_tokens
         ):
             self.finish_reason = "stop"
             return True

@@ -203,6 +203,7 @@ def _build_params(body: dict) -> SamplingParams:
     params = SamplingParams(
         temperature=float(body.get("temperature", 1.0)),
         max_tokens=int(body.get("max_tokens", 16)),
+        min_tokens=int(body.get("min_tokens", 0)),
         top_p=body.get("top_p"),
         top_k=body.get("top_k"),
         seed=body.get("seed"),
@@ -347,63 +348,85 @@ class _Handler(BaseHTTPRequestHandler):
             self._error(404, f"no route {self.path}")
 
     # -- generation -------------------------------------------------------
+    MAX_N = 16
+
     def _serve_generation(self, body: dict, prompt: str, chat: bool) -> None:
         try:
             params = _build_params(body)
+            n = int(body.get("n", 1))
+            if not (1 <= n <= self.MAX_N):
+                raise ValueError(f"n must be in [1, {self.MAX_N}], got {n}")
+            best_of = body.get("best_of")
+            if best_of is not None and int(best_of) != n:
+                raise ValueError("best_of != n unsupported")
         except (ValueError, TypeError) as e:
             return self._error(400, str(e))
-        if int(body.get("n", 1)) != 1:
-            return self._error(400, "n > 1 unsupported")
-        reply = self.worker.submit(prompt, params)
-        first = reply.get()
-        if isinstance(first, Exception):
-            return self._error(400, str(first))
-        seq = first
+        # n>1 = n independent samples of the same prompt, batched by the
+        # engine (the prefix cache dedups the shared prompt KV). Unseeded
+        # rows draw independent Gumbel noise; an explicit seed gets
+        # per-choice derived seeds so choices still differ (OpenAI `n`
+        # would be useless returning n identical completions).
+        plist = [params]
+        for i in range(1, n):
+            plist.append(params.with_seed(params.seed + i)
+                         if params.seed is not None else params)
+        pairs = []  # (reply, seq) per choice
+        for p in plist:
+            reply = self.worker.submit(prompt, p)
+            first = reply.get()
+            if isinstance(first, Exception):
+                for r, s in pairs:
+                    self.worker.abort(s.seq_id)
+                return self._error(400, str(first))
+            pairs.append((reply, first))
         rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:24]
         created = int(time.time())
         want_lp = params.logprobs is not None
         if body.get("stream"):
-            self._stream_sse(reply, seq, rid, created, chat)
+            self._stream_sse(pairs, rid, created, chat)
         else:
-            self._respond_once(reply, seq, rid, created, chat, want_lp)
+            self._respond_once(pairs, rid, created, chat, want_lp)
 
-    def _respond_once(self, reply, seq, rid, created, chat, want_lp) -> None:
-        text, finish, lps = [], "stop", []
-        while True:
-            item = reply.get()
-            if item is _DONE:
-                break
-            if isinstance(item, Exception):
-                return self._error(500, str(item), "server_error")
-            text.append(item.text)
-            if item.logprob is not None:
-                lps.append((item.text, item.logprob, item.top))
-            if item.finish_reason is not None:
-                finish = item.finish_reason
-        full = "".join(text)
-        usage = {
-            "prompt_tokens": seq.num_prompt_tokens,
-            "completion_tokens": seq.num_completion_tokens,
-            "total_tokens": seq.num_prompt_tokens + seq.num_completion_tokens,
-        }
-        if chat:
-            choice = {"index": 0, "finish_reason": finish,
-                      "message": {"role": "assistant", "content": full}}
-            if want_lp:
-                choice["logprobs"] = {"content": [
-                    _chat_lp_entry(tok, lp, top) for tok, lp, top in lps
-                ]}
-            obj = "chat.completion"
-        else:
-            choice = {"index": 0, "finish_reason": finish, "text": full}
-            if want_lp:
-                choice["logprobs"] = _completions_lp(lps)
-            obj = "text_completion"
+    def _respond_once(self, pairs, rid, created, chat, want_lp) -> None:
+        choices = []
+        usage = {"prompt_tokens": 0, "completion_tokens": 0, "total_tokens": 0}
+        for idx, (reply, seq) in enumerate(pairs):
+            text, finish, lps = [], "stop", []
+            while True:
+                item = reply.get()
+                if item is _DONE:
+                    break
+                if isinstance(item, Exception):
+                    return self._error(500, str(item), "server_error")
+                text.append(item.text)
+                if item.logprob is not None:
+                    lps.append((item.text, item.logprob, item.top))
+                if item.finish_reason is not None:
+                    finish = item.finish_reason
+            full = "".join(text)
+            usage["prompt_tokens"] += seq.num_prompt_tokens
+            usage["completion_tokens"] += seq.num_completion_tokens
+            usage["total_tokens"] += (
+                seq.num_prompt_tokens + seq.num_completion_tokens
+            )
+            if chat:
+                choice = {"index": idx, "finish_reason": finish,
+                          "message": {"role": "assistant", "content": full}}
+                if want_lp:
+                    choice["logprobs"] = {"content": [
+                        _chat_lp_entry(tok, lp, top) for tok, lp, top in lps
+                    ]}
+            else:
+                choice = {"index": idx, "finish_reason": finish, "text": full}
+                if want_lp:
+                    choice["logprobs"] = _completions_lp(lps)
+            choices.append(choice)
+        obj = "chat.completion" if chat else "text_completion"
         self._json(200, {"id": rid, "object": obj, "created": created,
-                         "model": self.model_id, "choices": [choice],
+                         "model": self.model_id, "choices": choices,
                          "usage": usage})
 
-    def _stream_sse(self, reply, seq, rid, created, chat) -> None:
+    def _stream_sse(self, pairs, rid, created, chat) -> None:
         self.send_response(200)
         self.send_header("Content-Type", "text/event-stream")
         self.send_header("Cache-Control", "no-cache")
@@ -418,45 +441,59 @@ class _Handler(BaseHTTPRequestHandler):
         obj = "chat.completion.chunk" if chat else "text_completion"
         try:
             if chat:
-                send_chunk("data: " + json.dumps({
-                    "id": rid, "object": obj, "created": created,
-                    "model": self.model_id,
-                    "choices": [{"index": 0, "finish_reason": None,
-                                 "delta": {"role": "assistant", "content": ""}}],
-                }) + "\n\n")
-            while True:
-                item = reply.get()
-                if item is _DONE:
-                    break
-                if isinstance(item, Exception):
-                    break
-                if item.text == "" and item.finish_reason is None:
-                    continue
-                reason = item.finish_reason
-                if chat:
-                    choice = {"index": 0, "finish_reason": reason,
-                              "delta": ({"content": item.text}
-                                        if reason is None else {})}
-                    if item.logprob is not None and reason is None:
-                        choice["logprobs"] = {"content": [
-                            _chat_lp_entry(item.text, item.logprob, item.top)
-                        ]}
-                else:
-                    choice = {"index": 0, "finish_reason": reason,
-                              "text": item.text}
-                    if item.logprob is not None and reason is None:
-                        choice["logprobs"] = _completions_lp(
-                            [(item.text, item.logprob, item.top)]
-                        )
-                send_chunk("data: " + json.dumps({
-                    "id": rid, "object": obj, "created": created,
-                    "model": self.model_id, "choices": [choice],
-                }) + "\n\n")
+                for idx in range(len(pairs)):
+                    send_chunk("data: " + json.dumps({
+                        "id": rid, "object": obj, "created": created,
+                        "model": self.model_id,
+                        "choices": [{"index": idx, "finish_reason": None,
+                                     "delta": {"role": "assistant",
+                                               "content": ""}}],
+                    }) + "\n\n")
+            # Mux the n choice queues: poll round-robin, emit chunks as they
+            # arrive (choices generate concurrently in one engine batch).
+            live = {i: reply for i, (reply, _) in enumerate(pairs)}
+            while live:
+                progressed = False
+                for idx in list(live):
+                    try:
+                        item = live[idx].get_nowait()
+                    except queue.Empty:
+                        continue
+                    progressed = True
+                    if item is _DONE or isinstance(item, Exception):
+                        del live[idx]
+                        continue
+                    if item.text == "" and item.finish_reason is None:
+                        continue
+                    reason = item.finish_reason
+                    if chat:
+                        choice = {"index": idx, "finish_reason": reason,
+                                  "delta": ({"content": item.text}
+                                            if reason is None else {})}
+                        if item.logprob is not None and reason is None:
+                            choice["logprobs"] = {"content": [
+                                _chat_lp_entry(item.text, item.logprob,
+                                               item.top)
+                            ]}
+                    else:
+                        choice = {"index": idx, "finish_reason": reason,
+                                  "text": item.text}
+                        if item.logprob is not None and reason is None:
+                            choice["logprobs"] = _completions_lp(
+                                [(item.text, item.logprob, item.top)]
+                            )
+                    send_chunk("data: " + json.dumps({
+                        "id": rid, "object": obj, "created": created,
+                        "model": self.model_id, "choices": [choice],
+                    }) + "\n\n")
+                if not progressed:
+                    time.sleep(0.005)
             send_chunk("data: [DONE]\n\n")
             self.wfile.write(b"0\r\n\r\n")
         except (BrokenPipeError, ConnectionResetError):
-            # Client hung up mid-stream: cancel the request, free blocks.
-            self.worker.abort(seq.seq_id)
+            # Client hung up mid-stream: cancel the requests, free blocks.
+            for _, seq in pairs:
+                self.worker.abort(seq.seq_id)
 
 
 def make_server(engine, host: str = "0.0.0.0", port: int = 8000,

@@ -530,6 +530,29 @@ class TestStopStrings:
         with pytest.raises(ValueError):
             SamplingParams(stop=[""]).validate()
 
+    def test_min_tokens_delays_stop_strings(self, model_dir):
+        """min_tokens suppresses stop-string finishes until enough tokens
+        exist; the first scan afterwards covers the backlog, so the text
+        still truncates at the earliest match."""
+        eng = mkengine(model_dir, decode_window=4)
+        base = eng.generate(
+            ["stop me"], SamplingParams(temperature=0.0, max_tokens=24,
+                                        ignore_eos=True))[0]
+        marker = base.text[2:6]
+        assert marker
+        nomin = eng.generate(
+            ["stop me"], SamplingParams(temperature=0.0, max_tokens=24,
+                                        ignore_eos=True, stop=[marker]))[0]
+        withmin = eng.generate(
+            ["stop me"], SamplingParams(temperature=0.0, max_tokens=24,
+                                        ignore_eos=True, stop=[marker],
+                                        min_tokens=16))[0]
+        assert nomin.finish_reason == "stop"
+        assert withmin.finish_reason == "stop"
+        assert withmin.num_completion_tokens >= 16
+        assert nomin.num_completion_tokens < withmin.num_completion_tokens
+        assert withmin.text == nomin.text  # same earliest-match truncation
+
     def test_stream_stop_string_never_duplicates(self, model_dir):
         """A stop string completing in a LATER decode window than the text
         it truncates used to make stream_delta re-emit the whole completion

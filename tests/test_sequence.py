@@ -63,6 +63,31 @@ def test_should_stop_eos_and_ignore_eos():
     assert not seq2.should_stop(eos_token_id=99)
 
 
+def test_min_tokens_suppresses_eos_until_reached():
+    seq = Sequence([1, 2], SamplingParams(max_tokens=10, min_tokens=3))
+    seq.append_token(99)
+    assert not seq.should_stop(eos_token_id=99)  # 1 < min_tokens
+    seq.append_token(99)
+    assert not seq.should_stop(eos_token_id=99)  # 2 < min_tokens
+    seq.append_token(99)
+    assert seq.should_stop(eos_token_id=99)      # 3 >= min_tokens
+    assert seq.finish_reason == "stop"
+    # Length caps are NOT suppressed by min_tokens.
+    seq2 = Sequence([1], SamplingParams(max_tokens=2, min_tokens=2))
+    seq2.append_token(5)
+    seq2.append_token(6)
+    assert seq2.should_stop(eos_token_id=None)
+    assert seq2.finish_reason == "length"
+
+
+def test_min_tokens_validation():
+    with pytest.raises(ValueError):
+        SamplingParams(min_tokens=-1).validate()
+    with pytest.raises(ValueError):
+        SamplingParams(max_tokens=4, min_tokens=5).validate()
+    SamplingParams(max_tokens=4, min_tokens=4).validate()
+
+
 def test_eos_in_prompt_does_not_stop():
     seq = Sequence([99], SamplingParams(max_tokens=4))
     assert not seq.should_stop(eos_token_id=99)

@@ -150,6 +150,47 @@ def test_completions_logprobs(served):
     assert len(content[0]["top_logprobs"]) == 1
 
 
+def test_n_choices(served):
+    """OpenAI `n`: n independent samples of the prompt in one engine batch;
+    indices 0..n-1, aggregated usage, distinct completions (per-choice
+    derived seeds when a seed is given)."""
+    code, data = _request(served, "POST", "/v1/completions", {
+        "prompt": "multi", "max_tokens": 4, "temperature": 1.0, "n": 2,
+        "seed": 7, "ignore_eos": True,
+    })
+    assert code == 200, data
+    resp = json.loads(data)
+    ch = resp["choices"]
+    assert [c["index"] for c in ch] == [0, 1]
+    assert ch[0]["text"] != ch[1]["text"]
+    assert resp["usage"]["completion_tokens"] == 8
+
+    # Streamed: chunks carry per-choice indices; stream ends with [DONE].
+    conn = http.client.HTTPConnection(*served, timeout=300)
+    conn.request("POST", "/v1/completions", body=json.dumps({
+        "prompt": "multi stream", "max_tokens": 3, "temperature": 1.0,
+        "n": 2, "stream": True, "ignore_eos": True,
+    }), headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    raw = resp.read().decode()
+    conn.close()
+    events = [ln[len("data: "):] for ln in raw.splitlines()
+              if ln.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    seen = {json.loads(e)["choices"][0]["index"] for e in events[:-1]}
+    assert seen == {0, 1}
+
+    code, data = _request(served, "POST", "/v1/completions", {
+        "prompt": "x", "n": 99,
+    })
+    assert code == 400
+    code, data = _request(served, "POST", "/v1/completions", {
+        "prompt": "x", "n": 1, "best_of": 3,
+    })
+    assert code == 400
+
+
 def test_bad_requests(served):
     code, data = _request(served, "POST", "/v1/completions", {
         "prompt": "x", "temperature": -2.0,
