@@ -335,6 +335,22 @@ class ModelRunner:
         has_seed = np.zeros((S,), bool)
         gen_counts = np.zeros((S,), np.int32)
         use_top_k = use_top_p = use_penalty = use_freq_pres = use_seeds = False
+        use_logit_bias = any(
+            s.sampling_params.logit_bias for s in seqs
+        )
+        if use_logit_bias:
+            B = _next_pow2(
+                max(len(s.sampling_params.logit_bias or ()) for s in seqs),
+                lo=8,
+            )
+            bias_ids = np.full((S, B), -1, np.int32)
+            bias_vals = np.zeros((S, B), np.float32)
+            for i, s in enumerate(seqs):
+                for j, (tid, bv) in enumerate(s.sampling_params.logit_bias or ()):
+                    bias_ids[i, j] = tid
+                    bias_vals[i, j] = bv
+        else:
+            bias_ids = bias_vals = None
         for i, s in enumerate(seqs):
             p = s.sampling_params
             temps[i] = p.temperature
@@ -399,11 +415,13 @@ class ModelRunner:
             "use_seeds": use_seeds,
             # All-greedy batches skip the [S, V] Gumbel draw entirely.
             "use_random": bool((temps != 0.0).any()),
+            "use_logit_bias": use_logit_bias,
         }
         state = sampling_ops.SamplingState(
             temps=temps, top_k=top_k, top_p=top_p, rep_pen=rep_pen,
             freq_pen=freq_pen, pres_pen=pres_pen, buf=buf, gen_mask=gen_mask,
             cursor=cursor, seeds=seeds, has_seed=has_seed, gen_counts=gen_counts,
+            bias_ids=bias_ids, bias_vals=bias_vals,
         )
         return state, flags
 

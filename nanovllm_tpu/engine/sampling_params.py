@@ -45,6 +45,15 @@ class SamplingParams:
     # Token ids may overshoot by up to one decode window — text is the
     # contract. Accepts a str or a sequence of str; stored as a tuple.
     stop: Optional[tuple] = None
+    # vLLM-style stop token ids: generation finishes when any of these is
+    # sampled — an extra EOS set with the same semantics (min_tokens
+    # suppresses them too; the stopping token stays in token_ids).
+    stop_token_ids: Optional[tuple] = None
+    # OpenAI logit_bias: {token_id: bias} added to the raw logits before
+    # any selection (greedy included); -100..100, -100 effectively bans a
+    # token. Accepts a dict (string or int keys, OpenAI sends strings);
+    # stored as a sorted tuple of (id, bias) pairs.
+    logit_bias: Optional[tuple] = None
     # Logprobs: None = off; 0 = return the sampled token's logprob per
     # completion token; 1..8 = additionally the top-N (token_id, logprob)
     # rows. Computed from the model's raw distribution (log_softmax of the
@@ -56,6 +65,18 @@ class SamplingParams:
         if self.stop is not None and not isinstance(self.stop, tuple):
             s = (self.stop,) if isinstance(self.stop, str) else tuple(self.stop)
             object.__setattr__(self, "stop", s)
+        if self.stop_token_ids is not None and not isinstance(self.stop_token_ids, tuple):
+            t = ((self.stop_token_ids,) if isinstance(self.stop_token_ids, int)
+                 else tuple(self.stop_token_ids))
+            object.__setattr__(self, "stop_token_ids", t)
+        if self.logit_bias is not None and not (
+            isinstance(self.logit_bias, tuple)
+            and all(isinstance(e, tuple) for e in self.logit_bias)
+        ):
+            items = (self.logit_bias.items()
+                     if isinstance(self.logit_bias, dict) else self.logit_bias)
+            norm = tuple(sorted((int(k), float(v)) for k, v in items))
+            object.__setattr__(self, "logit_bias", norm)
 
     # --- builders (reference: sampling_params.rs:43-84) ---
     def with_temperature(self, t: float) -> "SamplingParams":
@@ -91,8 +112,14 @@ class SamplingParams:
     def with_stop(self, stop) -> "SamplingParams":
         return replace(self, stop=stop)
 
+    def with_stop_token_ids(self, ids) -> "SamplingParams":
+        return replace(self, stop_token_ids=ids)
+
     def with_logprobs(self, n: int) -> "SamplingParams":
         return replace(self, logprobs=n)
+
+    def with_logit_bias(self, bias) -> "SamplingParams":
+        return replace(self, logit_bias=bias)
 
     def is_greedy(self) -> bool:
         """Greedy iff temperature == 0 (reference: sampling_params.rs:86-88)."""
@@ -135,5 +162,27 @@ class SamplingParams:
             for s in self.stop:
                 if not isinstance(s, str) or not s:
                     raise ValueError(f"stop strings must be non-empty str, got {s!r}")
+        if self.stop_token_ids is not None:
+            if len(self.stop_token_ids) > 16:
+                raise ValueError(
+                    f"at most 16 stop token ids, got {len(self.stop_token_ids)}"
+                )
+            for t in self.stop_token_ids:
+                if not isinstance(t, int) or t < 0:
+                    raise ValueError(
+                        f"stop_token_ids must be non-negative ints, got {t!r}"
+                    )
         if self.logprobs is not None and not (0 <= self.logprobs <= 8):
             raise ValueError(f"logprobs must be in [0, 8], got {self.logprobs}")
+        if self.logit_bias is not None:
+            if len(self.logit_bias) > 64:
+                raise ValueError(
+                    f"at most 64 logit_bias entries, got {len(self.logit_bias)}"
+                )
+            for tid, bias in self.logit_bias:
+                if tid < 0:
+                    raise ValueError(f"logit_bias token ids must be >= 0, got {tid}")
+                if not -100.0 <= bias <= 100.0:
+                    raise ValueError(
+                        f"logit_bias values must be in [-100, 100], got {bias}"
+                    )

@@ -176,6 +176,16 @@ class Sequence:
         ):
             self.finish_reason = "stop"
             return True
+        if (
+            self.sampling_params.stop_token_ids
+            and self.num_completion_tokens > 0
+            and self.last_token in self.sampling_params.stop_token_ids
+            and self.num_completion_tokens >= self.sampling_params.min_tokens
+        ):
+            # Request-level extra EOS set (NOT gated by ignore_eos — the
+            # caller asked for these ids explicitly).
+            self.finish_reason = "stop"
+            return True
         if max_model_len is not None and len(self.token_ids) >= max_model_len:
             self.finish_reason = "length"
             return True

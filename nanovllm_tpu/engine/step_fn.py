@@ -72,6 +72,7 @@ def _greedy_fused(flags: dict, logprobs_n: int) -> bool:
         not flags.get("use_random", True)
         and not flags.get("use_penalty", False)
         and not flags.get("use_freq_pres", False)
+        and not flags.get("use_logit_bias", False)
         and logprobs_n < 0
     )
 

@@ -49,6 +49,10 @@ class SamplingState(NamedTuple):
     seeds: jax.Array       # [S] u32 per-request seed (0 when unset)
     has_seed: jax.Array    # [S] bool
     gen_counts: jax.Array  # [S] i32 completion tokens generated before this step
+    # OpenAI logit_bias: per-row (token id, additive bias) entries, present
+    # only when use_logit_bias is set (None otherwise — an empty pytree).
+    bias_ids: jax.Array = None   # [S, B] i32, -1 padded
+    bias_vals: jax.Array = None  # [S, B] f32
 
 
 def append_to_ring(state: SamplingState, tokens: jax.Array, valid) -> SamplingState:
@@ -77,6 +81,7 @@ def sample_logits(
     use_freq_pres: bool = False,
     use_seeds: bool = False,
     use_random: bool = True,
+    use_logit_bias: bool = False,
 ) -> jax.Array:
     """Sample one token per row (traceable core — call inside a jitted step).
 
@@ -112,6 +117,16 @@ def sample_logits(
             logits
             - state.freq_pen[:, None] * counts
             - state.pres_pen[:, None] * (counts > 0.0)
+        )
+
+    if use_logit_bias:
+        # OpenAI logit_bias: add per-request biases to the raw logits
+        # before ANY selection (greedy included); -100 is an effective ban,
+        # +100 effectively exclusive.
+        toks = jnp.clip(state.bias_ids, 0, V - 1)
+        valid = state.bias_ids >= 0
+        logits = logits.at[rows[:, None], toks].add(
+            jnp.where(valid, state.bias_vals, 0.0)
         )
 
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -175,6 +190,6 @@ sample = jax.jit(
     sample_logits,
     static_argnames=(
         "use_top_k", "use_top_p", "use_penalty", "use_freq_pres",
-        "use_seeds", "use_random",
+        "use_seeds", "use_random", "use_logit_bias",
     ),
 )

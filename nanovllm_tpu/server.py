@@ -211,6 +211,9 @@ def _build_params(body: dict) -> SamplingParams:
         presence_penalty=float(body.get("presence_penalty", 0.0)),
         repetition_penalty=body.get("repetition_penalty"),
         stop=stop,
+        stop_token_ids=(tuple(body["stop_token_ids"])
+                        if body.get("stop_token_ids") else None),
+        logit_bias=body.get("logit_bias") or None,
         # OpenAI semantics: completions `logprobs` is an INT (top-N);
         # chat uses `logprobs: bool` + `top_logprobs: int`.
         logprobs=_parse_logprobs(body),

@@ -57,6 +57,32 @@ def test_frequency_penalty_shifts_greedy():
     assert int(tok[0]) == 2
 
 
+def test_logit_bias_shifts_and_bans():
+    """OpenAI logit_bias adds to the raw logits before any selection:
+    -100 bans the argmax, a positive bias promotes a trailing token."""
+    logits = jnp.array([[0.0, 1.0, 1.5, 0.2]], jnp.float32)
+    st = _state(
+        1,
+        bias_ids=jnp.array([[2, 3, -1, -1, -1, -1, -1, -1]], jnp.int32),
+        bias_vals=jnp.array([[-100.0, 2.0, 0, 0, 0, 0, 0, 0]], jnp.float32),
+    )
+    tok = sample_logits(logits, jax.random.PRNGKey(0), st,
+                        use_logit_bias=True, use_random=False)
+    assert int(tok[0]) == 3  # 0.2 + 2.0 beats 1.0; 1.5 banned
+    tok = sample_logits(logits, jax.random.PRNGKey(0), st, use_random=False)
+    assert int(tok[0]) == 2  # without the flag, raw argmax
+
+
+def test_logit_bias_engine_forces_token(model_dir):
+    """+100 bias on one token makes greedy pick it every step (e2e through
+    the non-fused lm_head path the flag forces)."""
+    eng = mkengine(model_dir, decode_window=4)
+    out = eng.generate(["force"], SamplingParams(
+        temperature=0.0, max_tokens=6, ignore_eos=True,
+        logit_bias={42: 100.0}))[0]
+    assert out.completion_token_ids == [42] * 6
+
+
 def test_presence_penalty_is_count_independent():
     logits = jnp.array([[0.0, 1.0, 1.2, 0.2]], jnp.float32)
     once = _state(

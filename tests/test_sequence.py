@@ -80,6 +80,28 @@ def test_min_tokens_suppresses_eos_until_reached():
     assert seq2.finish_reason == "length"
 
 
+def test_stop_token_ids():
+    seq = Sequence([1, 2], SamplingParams(max_tokens=10, stop_token_ids=[7, 9]))
+    seq.append_token(5)
+    assert not seq.should_stop(eos_token_id=None)
+    seq.append_token(9)
+    assert seq.should_stop(eos_token_id=None)
+    assert seq.finish_reason == "stop"
+    # ignore_eos does NOT disable explicit stop ids; min_tokens does.
+    seq2 = Sequence([1], SamplingParams(max_tokens=10, ignore_eos=True,
+                                        stop_token_ids=[7], min_tokens=2))
+    seq2.append_token(7)
+    assert not seq2.should_stop(eos_token_id=None)  # 1 < min_tokens
+    seq2.append_token(7)
+    assert seq2.should_stop(eos_token_id=None)
+    # int accepted and normalized to a tuple; validation bounds.
+    assert SamplingParams(stop_token_ids=5).stop_token_ids == (5,)
+    with pytest.raises(ValueError):
+        SamplingParams(stop_token_ids=[-1]).validate()
+    with pytest.raises(ValueError):
+        SamplingParams(stop_token_ids=list(range(17))).validate()
+
+
 def test_min_tokens_validation():
     with pytest.raises(ValueError):
         SamplingParams(min_tokens=-1).validate()

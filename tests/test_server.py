@@ -191,6 +191,28 @@ def test_n_choices(served):
     assert code == 400
 
 
+def test_logit_bias_and_stop_token_ids(served):
+    """OpenAI logit_bias (+100 forces a token, string keys) and vLLM-style
+    stop_token_ids through the HTTP API."""
+    code, data = _request(served, "POST", "/v1/completions", {
+        "prompt": "bias", "max_tokens": 4, "temperature": 0.0,
+        "logit_bias": {"42": 100}, "ignore_eos": True,
+    })
+    assert code == 200, data
+    resp = json.loads(data)
+    assert resp["choices"][0]["text"] == "****"  # chr(42) x 4
+
+    code, data = _request(served, "POST", "/v1/completions", {
+        "prompt": "bias", "max_tokens": 4, "temperature": 0.0,
+        "logit_bias": {"42": 100}, "stop_token_ids": [42],
+        "ignore_eos": True,
+    })
+    assert code == 200, data
+    resp = json.loads(data)
+    assert resp["usage"]["completion_tokens"] == 1
+    assert resp["choices"][0]["finish_reason"] == "stop"
+
+
 def test_bad_requests(served):
     code, data = _request(served, "POST", "/v1/completions", {
         "prompt": "x", "temperature": -2.0,
