@@ -400,6 +400,8 @@ class _Handler(BaseHTTPRequestHandler):
                 if item is _DONE:
                     break
                 if isinstance(item, Exception):
+                    for _, s in pairs:
+                        self.worker.abort(s.seq_id)
                     return self._error(500, str(item), "server_error")
                 text.append(item.text)
                 if item.logprob is not None:
