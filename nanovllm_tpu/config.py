@@ -89,6 +89,26 @@ class Config:
     # True/False force. Purely an execution strategy: outputs are
     # identical (tests/test_shared_prefix.py).
     shared_prefix_attention: object = "auto"
+    # N-gram (prompt-lookup) speculative decoding: each decode iteration
+    # proposes `speculative_num_tokens` continuation tokens by matching the
+    # sequence's trailing `speculative_ngram_n`-gram against its own earlier
+    # context ON DEVICE, then verifies all of them in one multi-query
+    # forward pass (the same chunk-attends-paged-history shape as chunked
+    # prefill). At small batches decode is weight-bandwidth-bound, so
+    # verifying k+1 query tokens costs the same HBM traffic as 1 — every
+    # accepted proposal is a (near-)free extra token. Greedy acceptance is
+    # exact: outputs are token-for-token identical to non-speculative
+    # greedy decode (tests/test_spec_decode.py). 0 disables. Engages only
+    # for all-greedy batches of <= speculative_max_batch sequences with no
+    # logprobs/penalties/logit-bias, on full-attention models, single
+    # mesh-less chips; other batches take the normal decode window.
+    # No reference counterpart (beyond parity).
+    speculative_num_tokens: int = 0
+    speculative_ngram_n: int = 3
+    # Above this many running sequences speculation is skipped: large-batch
+    # decode is attention/compute-bound, so rejected proposals stop being
+    # free (the win is the batch-1..8 latency regime).
+    speculative_max_batch: int = 8
     # With quantization on, also quantize the embedding/lm_head to INT8
     # per-vocab-row (the head stays 8-bit even under int4 layer weights).
     # At decode batch sizes the logits matmul is the single largest HBM
@@ -188,6 +208,19 @@ class Config:
             raise ValueError(f"decode_window must be >= 1, got {self.decode_window}")
         if self.pipeline_depth < 1:
             raise ValueError(f"pipeline_depth must be >= 1, got {self.pipeline_depth}")
+        if self.speculative_num_tokens < 0:
+            raise ValueError(
+                "speculative_num_tokens must be >= 0, "
+                f"got {self.speculative_num_tokens}"
+            )
+        if self.speculative_num_tokens and self.speculative_ngram_n < 1:
+            raise ValueError(
+                f"speculative_ngram_n must be >= 1, got {self.speculative_ngram_n}"
+            )
+        if self.speculative_num_tokens and self.speculative_max_batch < 1:
+            raise ValueError(
+                f"speculative_max_batch must be >= 1, got {self.speculative_max_batch}"
+            )
         if self.penalty_history_window is not None and self.penalty_history_window < 16:
             raise ValueError(
                 "penalty_history_window must be >= 16 (or None for exact), "

@@ -304,7 +304,20 @@ class LLMEngine:
             while self._pending:
                 self._drain_oldest(outputs)
 
-        seqs, is_prefill = self.scheduler.schedule(self.config.decode_window)
+        spec = False
+        window = self.config.decode_window
+        if self.config.speculative_num_tokens:
+            # Speculative windows verify against the host token lists, so
+            # they need the pipeline drained (host state authoritative).
+            # Enabling speculation therefore makes stepping synchronous.
+            while self._pending:
+                self._drain_oldest(outputs)
+            spec = self.model_runner.spec_eligible(self.scheduler.running)
+            if spec:
+                # Worst case every iteration accepts all k proposals plus
+                # the bonus token: reserve KV for W*(k+1) appends.
+                window *= self.config.speculative_num_tokens + 1
+        seqs, is_prefill = self.scheduler.schedule(window)
         # Requests rejected during scheduling (prompt too long / can never
         # fit) surface as error outputs, not exceptions.
         while self.scheduler.failed:
@@ -312,11 +325,18 @@ class LLMEngine:
             outputs.append(failed.create_output(self._detokenize(failed)))
 
         if seqs:
-            handle = self.model_runner.dispatch(seqs, is_prefill, prev=list(self._pending))
+            spec = spec and not is_prefill
+            handle = self.model_runner.dispatch(
+                seqs, is_prefill, prev=list(self._pending), spec=spec
+            )
             for s in seqs:
                 s.num_pending += handle.k
             self._pending.append(handle)
-            depth = self.config.pipeline_depth if self.config.async_scheduling else 0
+            depth = (
+                0 if spec
+                else self.config.pipeline_depth
+                if self.config.async_scheduling else 0
+            )
             while len(self._pending) > depth:
                 self._drain_oldest(outputs)
         elif self._pending:

@@ -103,9 +103,14 @@ class DispatchHandle:
 
     seqs: List[Sequence]
     is_prefill: bool
-    k: int                 # speculative tokens per sequence
-    tokens_dev: object     # jax.Array — prefill: [S]; decode: [K, S]
+    k: int                 # reserved (worst-case) tokens per sequence
+    tokens_dev: object     # jax.Array — prefill: [S]; decode: [K, S];
+                           # spec: preds [W, S, spec_k+1]
     row_of: Dict[int, int] = field(default_factory=dict)
+    # N-gram speculative window: acc_dev [W, S] holds per-iteration accepted
+    # proposal counts; the emitted tokens are tokens_dev[w, i, :acc+1].
+    spec: bool = False
+    acc_dev: object = None
     # Device logprob bundle (chosen, top_vals, top_ids) when any sequence
     # in the batch requested logprobs; None otherwise. Prefill shapes
     # [S]/[S,n]; decode [K,S]/[K,S,n].
@@ -215,6 +220,12 @@ class ModelRunner:
         self._rng = jax.random.PRNGKey(rng_seed)
         self.num_compilations = 0
         self._seen_shapes = set()
+        # N-gram speculative decoding telemetry (proposals verified/accepted
+        # and tokens emitted across all speculative windows).
+        self.spec_proposed = 0
+        self.spec_accepted = 0
+        self.spec_emitted = 0
+        self.spec_iterations = 0
 
     # ------------------------------------------------------------------
     def _load_or_init_params(self, rng_seed: int):
@@ -441,12 +452,17 @@ class ModelRunner:
         seqs: List[Sequence],
         is_prefill: bool,
         prev=None,
+        spec: bool = False,
     ) -> DispatchHandle:
         """Enqueue one serving dispatch WITHOUT waiting for results.
 
         `prev`: still-in-flight previous dispatch(es) (a DispatchHandle or
         a list, oldest first) — sequences present in one take their input
-        token from its on-device output (their host token list lags)."""
+        token from its on-device output (their host token list lags).
+
+        `spec`: run the decode batch as an n-gram speculative-verify window
+        instead of the normal decode window (requires no in-flight prevs —
+        the host token lists must be authoritative)."""
         self._rng, key = jax.random.split(self._rng)
         if prev is None:
             prev = []
@@ -454,12 +470,21 @@ class ModelRunner:
             prev = [prev]
         if is_prefill:
             handle = self._dispatch_prefill(seqs, key)
+        elif spec:
+            if prev:
+                raise RuntimeError(
+                    "speculative dispatch requires the pipeline drained "
+                    "(host token state must be authoritative)"
+                )
+            handle = self._dispatch_spec_window(seqs)
         else:
             handle = self._dispatch_decode_window(seqs, key, prev)
         try:
             # Start the device->host copy now; it lands while the host
             # prepares the next dispatch, so fetch() is (near-)free.
             handle.tokens_dev.copy_to_host_async()
+            if handle.acc_dev is not None:
+                handle.acc_dev.copy_to_host_async()
             if handle.lp_dev is not None:
                 for arr in handle.lp_dev:
                     arr.copy_to_host_async()
@@ -469,11 +494,28 @@ class ModelRunner:
 
     def fetch(self, handle: DispatchHandle) -> List[List[int]]:
         """Block on a dispatch and return, per sequence, the list of newly
-        sampled token ids (length 1 for prefill, k for decode windows)."""
+        sampled token ids (length 1 for prefill, k for decode windows,
+        variable 1..k+1 per iteration for speculative windows)."""
         out = np.asarray(handle.tokens_dev)
         n = len(handle.seqs)
         if handle.is_prefill:
             return [[int(t)] for t in out[:n]]
+        if handle.spec:
+            accs = np.asarray(handle.acc_dev)  # [W, S]
+            W, _, k1 = out.shape
+            result = []
+            for i in range(n):
+                toks: List[int] = []
+                for w in range(W):
+                    a = int(accs[w, i])
+                    toks.extend(int(t) for t in out[w, i, : a + 1])
+                result.append(toks)
+            # Acceptance telemetry (engine stats + bench honesty).
+            self.spec_proposed += n * W * (k1 - 1)
+            self.spec_accepted += int(accs[:, :n].sum())
+            self.spec_emitted += sum(len(t) for t in result)
+            self.spec_iterations += n * W
+            return result
         return [out[:, i].tolist() for i in range(n)]
 
     def fetch_logprobs(self, handle: DispatchHandle):
@@ -512,6 +554,88 @@ class ModelRunner:
             (s.sampling_params.logprobs
              if s.sampling_params.logprobs is not None else -1)
             for s in seqs
+        )
+
+    # ------------------------------------------------------------------
+    # N-gram (prompt-lookup) speculative decoding
+    # ------------------------------------------------------------------
+    def spec_eligible(self, seqs) -> bool:
+        """True when a decode batch over `seqs` may run as a speculative
+        window. Greedy acceptance is only exact for pure-argmax rows, and
+        the verify forward materializes no logits — so any feature that
+        reads or mutates logits disqualifies the batch. Sliding-window /
+        mixed-attention models are excluded (rolling-buffer eviction breaks
+        the absolute-position slot math the multi-query chunk relies on),
+        as are meshes (the verify path is single-chip for now)."""
+        cfg = self.config
+        if not cfg.speculative_num_tokens or self.mesh is not None:
+            return False
+        if self.model_config.sliding_window is not None:
+            return False
+        if self.model_config.layer_types is not None:
+            return False
+        seqs = list(seqs)
+        if not seqs or len(seqs) > cfg.speculative_max_batch:
+            return False
+        for s in seqs:
+            p = s.sampling_params
+            if p.temperature != 0.0 or p.logprobs is not None:
+                return False
+            if p.repetition_penalty not in (None, 1.0):
+                return False
+            if p.frequency_penalty or p.presence_penalty or p.logit_bias:
+                return False
+        return True
+
+    def _dispatch_spec_window(self, seqs: List[Sequence]) -> DispatchHandle:
+        """One speculative window: W on-device propose+verify iterations
+        (see step_fn.build_spec_window). The caller guarantees the pipeline
+        is drained, so s.token_ids is each sequence's authoritative state
+        and num_pending == 0."""
+        from nanovllm_tpu.engine.step_fn import build_spec_window
+
+        W = self.config.decode_window
+        k = self.config.speculative_num_tokens
+        n = self.config.speculative_ngram_n
+        num_seqs = len(seqs)
+        max_blocks = max(len(s.block_table) for s in seqs)
+        max_len = max(len(s.token_ids) for s in seqs)
+        if self.config.enforce_eager:
+            S, MAXBLK = num_seqs, max_blocks
+        else:
+            S = _pick_bucket(num_seqs, self.config.decode_batch_buckets)
+            MAXBLK = _next_pow2(max_blocks)
+        TBUF = _next_pow2(max_len + W * (k + 1), lo=64)
+
+        fk = ("spec", W, k, n)
+        if fk not in self._decode_fns:
+            # The verify forward runs the jnp attention oracle: at the
+            # small batches speculation targets, the whole attention gather
+            # is a few MB next to the weight stream the verify shares with
+            # a plain decode step.
+            self._decode_fns[fk] = build_spec_window(
+                self.model_config, self.family.forward, self.block_size,
+                W, k, n, attn_impl="ref", mesh=None,
+            )
+        self._note_shape(("spec", fk, S, MAXBLK, TBUF))
+
+        tok_buf = np.full((S, TBUF), -1, np.int32)
+        context_lens = np.zeros((S,), np.int32)
+        block_tables = np.full((S, MAXBLK), -1, np.int32)
+        for i, s in enumerate(seqs):
+            ids = s.token_ids
+            tok_buf[i, : len(ids)] = ids
+            context_lens[i] = len(ids)
+            block_tables[i, : len(s.block_table)] = s.block_table
+
+        preds, accs, self.k_cache, self.v_cache = self._decode_fns[fk](
+            self.params, self.k_cache, self.v_cache, tok_buf, context_lens,
+            block_tables,
+        )
+        return DispatchHandle(
+            seqs=seqs, is_prefill=False, k=W * (k + 1), tokens_dev=preds,
+            spec=True, acc_dev=accs,
+            row_of={s.seq_id: i for i, s in enumerate(seqs)},
         )
 
     def _dispatch_prefill(self, seqs: List[Sequence], key) -> DispatchHandle:

@@ -77,6 +77,145 @@ def _greedy_fused(flags: dict, logprobs_n: int) -> bool:
     )
 
 
+def ngram_propose(buf, ctx, last, ngram_n: int, spec_k: int):
+    """Prompt-lookup proposer, fully on device: per row, find the most
+    recent EARLIER occurrence of the trailing `ngram_n`-gram in buf[:ctx]
+    and propose the `spec_k` tokens that followed it. Rows with no match
+    (or a match whose continuation runs past ctx) fall back to repeating
+    `last` — any proposal is safe, verification guarantees correctness.
+
+    buf: [S, TBUF] token ids (-1 padded past ctx); ctx: [S]; last: [S].
+    Returns [S, spec_k] proposals."""
+    S, TBUF = buf.shape
+    n = ngram_n
+    tpos = (ctx - n)[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]
+    tail = jnp.take_along_axis(buf, jnp.clip(tpos, 0, TBUF - 1), axis=1)
+    NI = TBUF - n + 1  # candidate n-gram start positions
+    eq = jnp.ones((S, NI), bool)
+    for t in range(n):
+        eq = eq & (buf[:, t:t + NI] == tail[:, t:t + 1])
+    ipos = jnp.arange(NI, dtype=jnp.int32)[None, :]
+    # A usable source starts strictly before the tail itself and the
+    # sequence must actually have n committed tokens.
+    ok = eq & (ipos < (ctx - n)[:, None]) & (ctx >= n)[:, None]
+    best = jnp.max(jnp.where(ok, ipos, -1), axis=1)  # [S], -1 = no match
+    src = best[:, None] + n + jnp.arange(spec_k, dtype=jnp.int32)[None, :]
+    props = jnp.take_along_axis(buf, jnp.clip(src, 0, TBUF - 1), axis=1)
+    usable = (best >= 0)[:, None] & (src < ctx[:, None])
+    return jnp.where(usable, props, last[:, None])
+
+
+def build_spec_window(
+    cfg,
+    forward_fn: Callable,
+    block_size: int,
+    num_iters: int,
+    spec_k: int,
+    ngram_n: int,
+    attn_impl: str = "ref",
+    mesh=None,
+) -> Callable:
+    """W speculative-verify iterations in one jit (greedy decode only).
+
+    Each iteration proposes `spec_k` tokens by prompt-lookup (match the
+    sequence's trailing `ngram_n`-gram against its own earlier tokens, on
+    device) and verifies them with ONE multi-query forward: the chunk
+    [last, p_0, .., p_{k-1}] attends the paged history plus itself causally
+    (the exact metadata shape chunked prefill uses), and the fused greedy
+    head returns the argmax at every chunk position. The longest prefix of
+    proposals matching the argmaxes is accepted, plus the "bonus" argmax at
+    the first mismatch — so every iteration yields 1..k+1 tokens and the
+    emitted stream is bit-identical to non-speculative greedy decode.
+
+    KV protocol: iteration inputs write KV at positions ctx-1..ctx-1+k;
+    rejected positions hold wrong-token KV, but the committed-KV invariant
+    (positions <= len-2 correct) is preserved because the next iteration's
+    inputs rewrite exactly those slots before anything reads them — the
+    same scatter-then-attend ordering the single-step path relies on.
+
+    Why this wins: at small batches decode is weight-bandwidth-bound, so a
+    k+1-query verify streams the same weight bytes as a 1-query step —
+    accepted proposals are free tokens. No reference counterpart.
+
+    Returns fn(params, kc, vc, tok_buf [S, TBUF], context_lens [S],
+               block_tables [S, M])
+            -> (preds [W, S, k+1], accepts [W, S], kc, vc)
+    The host emits preds[w, s, :accepts[w, s]+1] per iteration.
+    tok_buf rows hold each sequence's full token ids (prompt + generated),
+    -1 padded past context_lens; TBUF must be >= max ctx + W*(k+1).
+    """
+    k1 = spec_k + 1
+
+    def propose(buf, ctx, last):
+        return ngram_propose(buf, ctx, last, ngram_n, spec_k)
+
+    def fn(params, k_cache, v_cache, tok_buf, context_lens, block_tables):
+        S, TBUF = tok_buf.shape
+        M = block_tables.shape[1]
+        rows = jnp.arange(S, dtype=jnp.int32)
+        j = jnp.arange(k1, dtype=jnp.int32)
+
+        def iteration(carry, _):
+            kc, vc, buf, ctx = carry
+            valid = ctx > 0
+            last = buf[rows, jnp.clip(ctx - 1, 0, TBUF - 1)]
+            props = propose(buf, ctx, last)
+            chunk = jnp.maximum(  # clamp -1 padding reads to a legal id
+                jnp.concatenate([last[:, None], props], axis=1), 0
+            )  # [S, k1]
+            pos = (ctx - 1)[:, None] + j[None, :]  # [S, k1]
+            blk_idx = jnp.clip(pos // block_size, 0, M - 1)
+            blk = jnp.take_along_axis(block_tables, blk_idx, axis=1)
+            slot = jnp.where(
+                valid[:, None], blk * block_size + pos % block_size, -1
+            )
+            meta = AttentionMetadata(
+                slot_mapping=slot.reshape(-1),
+                positions=jnp.maximum(pos, 0).reshape(-1),
+                token_seq=jnp.repeat(rows, k1),
+                token_qcol=jnp.tile(j, S),
+                block_tables=block_tables,
+                context_lens=jnp.where(valid, ctx + spec_k, 0),
+                logits_idx=rows * k1 + (k1 - 1),  # unused under all_logits
+                q_gather=rows[:, None] * k1 + j[None, :],
+                q_positions=jnp.where(valid[:, None], pos, -1),
+            )
+            pred_flat, kc, vc = forward_fn(
+                cfg, params, kc, vc, chunk.reshape(S * k1), meta,
+                attn_impl=attn_impl, mesh=mesh, all_logits=True,
+                head_mode="greedy",
+            )
+            pred = pred_flat.reshape(S, k1).astype(jnp.int32)
+            # Longest accepted prefix: pred[:, i] verifies proposal i.
+            match = (pred[:, :spec_k] == props).astype(jnp.int32)
+            acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [S] in 0..k
+            # Write all k1 predictions at positions ctx..ctx+k; rows beyond
+            # ctx+acc are provisional and the next iteration overwrites
+            # them (the proposer only ever reads below ctx).
+            wpos = ctx[:, None] + j[None, :]
+            widx = jnp.where(
+                valid[:, None] & (wpos < TBUF),
+                rows[:, None] * TBUF + wpos,
+                S * TBUF,  # out-of-bounds positive -> dropped
+            )
+            buf = (
+                buf.reshape(-1)
+                .at[widx.reshape(-1)]
+                .set(pred.reshape(-1), mode="drop")
+                .reshape(S, TBUF)
+            )
+            ctx = jnp.where(valid, jnp.minimum(ctx + acc + 1, TBUF), ctx)
+            return (kc, vc, buf, ctx), (pred, acc)
+
+        (k_cache, v_cache, _, _), (preds, accs) = jax.lax.scan(
+            iteration, (k_cache, v_cache, tok_buf, context_lens), None,
+            length=num_iters,
+        )
+        return preds, accs, k_cache, v_cache
+
+    return jax.jit(fn, donate_argnums=(1, 2))
+
+
 def build_decode_window(
     cfg,
     forward_fn: Callable,
