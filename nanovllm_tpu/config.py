@@ -97,8 +97,14 @@ class Config:
     # prefill). At small batches decode is weight-bandwidth-bound, so
     # verifying k+1 query tokens costs the same HBM traffic as 1 — every
     # accepted proposal is a (near-)free extra token. Greedy acceptance is
-    # exact: outputs are token-for-token identical to non-speculative
-    # greedy decode (tests/test_spec_decode.py). 0 disables. Engages only
+    # exact under matching attention numerics: outputs are token-for-token
+    # identical to non-speculative greedy decode (tests/test_spec_decode.py).
+    # On TPU the verify forward runs the flash varlen PREFILL kernel while
+    # plain decode runs the flash DECODE kernel; both are flash attention
+    # over the same paged blocks, but a near-exactly-tied argmax could in
+    # principle resolve differently across the two — the emitted stream is
+    # always a valid greedy continuation of the verify forward's own
+    # logits. 0 disables. Engages only
     # for all-greedy batches of <= speculative_max_batch sequences with no
     # logprobs/penalties/logit-bias, on full-attention models, single
     # mesh-less chips; other batches take the normal decode window.
@@ -213,9 +219,15 @@ class Config:
                 "speculative_num_tokens must be >= 0, "
                 f"got {self.speculative_num_tokens}"
             )
-        if self.speculative_num_tokens and self.speculative_ngram_n < 1:
+        if self.speculative_num_tokens and not (
+            1 <= self.speculative_ngram_n <= 32
+        ):
+            # Upper bound keeps NI = TBUF - n + 1 positive in ngram_propose
+            # for every token-buffer size (TBUF floors at 64): a huge n
+            # would otherwise surface as a cryptic trace-time slice error.
             raise ValueError(
-                f"speculative_ngram_n must be >= 1, got {self.speculative_ngram_n}"
+                "speculative_ngram_n must be in [1, 32], "
+                f"got {self.speculative_ngram_n}"
             )
         if self.speculative_num_tokens and self.speculative_max_batch < 1:
             raise ValueError(

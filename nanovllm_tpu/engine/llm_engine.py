@@ -307,17 +307,21 @@ class LLMEngine:
         spec = False
         window = self.config.decode_window
         if self.config.speculative_num_tokens:
-            # Speculative windows verify against the host token lists, so
-            # they need the pipeline drained (host state authoritative).
-            # Enabling speculation therefore makes stepping synchronous.
-            while self._pending:
-                self._drain_oldest(outputs)
+            # Eligibility reads only sampling params / batch size / model
+            # config — never host token state — so check it BEFORE draining:
+            # ineligible traffic (sampled requests, logprobs, big batches)
+            # keeps the async pipeline; only a batch that will actually
+            # dispatch a speculative window pays the synchronous drain
+            # (the verify reads host token lists, so host state must be
+            # authoritative).
             spec = self.model_runner.spec_eligible(self.scheduler.running)
             if spec:
+                while self._pending:
+                    self._drain_oldest(outputs)
                 # Worst case every iteration accepts all k proposals plus
                 # the bonus token: reserve KV for W*(k+1) appends.
                 window *= self.config.speculative_num_tokens + 1
-        seqs, is_prefill = self.scheduler.schedule(window)
+        seqs, is_prefill = self.scheduler.schedule(window, spec=spec)
         # Requests rejected during scheduling (prompt too long / can never
         # fit) surface as error outputs, not exceptions.
         while self.scheduler.failed:
@@ -359,7 +363,9 @@ class LLMEngine:
             [s.num_completion_tokens for s in handle.seqs]
             if lp_windows is not None else None
         )
-        finished = self.scheduler.postprocess_window(handle.seqs, token_windows, handle.k)
+        finished = self.scheduler.postprocess_window(
+            handle.seqs, token_windows, handle.k, spec=handle.spec
+        )
         if lp_windows is not None:
             chosen, top = lp_windows
             for i, seq in enumerate(handle.seqs):
@@ -435,12 +441,22 @@ class LLMEngine:
     # Batch API (reference: llm_engine.rs:71-98, 131-152)
     # ------------------------------------------------------------------
     def generate(
-        self, prompts: List[str], params: Optional[SamplingParams] = None
+        self, prompts: List[str], params=None
     ) -> List[SequenceOutput]:
+        """`params` is a single SamplingParams applied to every prompt, or a
+        list with one entry per prompt (vLLM-style per-request params)."""
         if isinstance(prompts, str):
             prompts = [prompts]
+        if isinstance(params, (list, tuple)):
+            if len(params) != len(prompts):
+                raise ValueError(
+                    f"got {len(params)} sampling params for {len(prompts)} prompts"
+                )
+            per_prompt = list(params)
+        else:
+            per_prompt = [params] * len(prompts)
         # Via add_request so multi-host intake buffering applies uniformly.
-        seqs = [self.add_request(p, params) for p in prompts]
+        seqs = [self.add_request(p, sp) for p, sp in zip(prompts, per_prompt)]
         self.is_running = True
         try:
             collected: Dict[int, SequenceOutput] = {}

@@ -511,6 +511,10 @@ class ModelRunner:
                     toks.extend(int(t) for t in out[w, i, : a + 1])
                 result.append(toks)
             # Acceptance telemetry (engine stats + bench honesty).
+            # spec_emitted counts tokens the windows handed to the host,
+            # BEFORE stop-condition truncation — tokens/s accounting uses
+            # scheduler.total_accepted_tokens (post-truncation) instead;
+            # emitted - accepted is the speculative overshoot.
             self.spec_proposed += n * W * (k1 - 1)
             self.spec_accepted += int(accs[:, :n].sum())
             self.spec_emitted += sum(len(t) for t in result)
@@ -609,13 +613,21 @@ class ModelRunner:
 
         fk = ("spec", W, k, n)
         if fk not in self._decode_fns:
-            # The verify forward runs the jnp attention oracle: at the
-            # small batches speculation targets, the whole attention gather
-            # is a few MB next to the weight stream the verify shares with
-            # a plain decode step.
+            # Verify runs the production flash varlen prefill kernel over
+            # the paged cache ("pallas_chunk": row-scatter KV write + flash
+            # read) whenever the serving path is Pallas — same attention
+            # numerics family as the rest of the engine, and no O(ctx)
+            # full-KV gather at long contexts. CPU/test runs keep the jnp
+            # oracle. Note: plain decode uses the flash DECODE kernel;
+            # exactness vs non-speculative greedy holds under matching
+            # attention numerics (near-tie argmaxes can in principle flip
+            # across kernels — see config.py speculative_num_tokens).
+            spec_attn = (
+                "pallas_chunk" if self.attn_impl == "pallas_decode" else "ref"
+            )
             self._decode_fns[fk] = build_spec_window(
                 self.model_config, self.family.forward, self.block_size,
-                W, k, n, attn_impl="ref", mesh=None,
+                W, k, n, attn_impl=spec_attn, mesh=None,
             )
         self._note_shape(("spec", fk, S, MAXBLK, TBUF))
 

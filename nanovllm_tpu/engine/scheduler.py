@@ -114,12 +114,18 @@ class Scheduler:
     # ------------------------------------------------------------------
     # Main entry: prefill-first (reference: scheduler.rs:103-116)
     # ------------------------------------------------------------------
-    def schedule(self, decode_window: int = 1) -> Tuple[List[Sequence], bool]:
+    def schedule(
+        self, decode_window: int = 1, spec: bool = False
+    ) -> Tuple[List[Sequence], bool]:
         """Returns (batch, is_prefill). Empty batch means nothing can run.
 
         `decode_window`: number of decode iterations the runner will execute
         per dispatch; KV blocks for the whole window are reserved up front
-        (see BlockManager window protocol)."""
+        (see BlockManager window protocol).
+
+        `spec`: `decode_window` is a speculative window's WORST-CASE
+        W*(k+1) reservation; decode-token stats are deferred to
+        postprocess_window(spec=True), which counts emitted tokens."""
         prefill = self._schedule_prefill()
         if prefill:
             self.num_prefill_batches += 1
@@ -132,7 +138,8 @@ class Scheduler:
         decode = self._schedule_decode(decode_window)
         if decode:
             self.num_decode_batches += 1
-            self.total_decode_tokens += len(decode) * decode_window
+            if not spec:
+                self.total_decode_tokens += len(decode) * decode_window
             return decode, False
         if self.waiting:
             # Decode preempted everything (or nothing was running): the freed
@@ -313,6 +320,7 @@ class Scheduler:
         seqs: List[Sequence],
         token_windows: List[List[int]],
         dispatched: Optional[int] = None,
+        spec: bool = False,
     ) -> List[Sequence]:
         """Append up to K sampled tokens per sequence (one decode window).
         Tokens generated on-device past a stop condition are discarded; full
@@ -324,8 +332,15 @@ class Scheduler:
         zombies — their tokens are discarded. Sequences PREEMPTED while in
         flight keep their tokens (they are valid continuations computed
         before the blocks were freed) and re-prefill with them included.
+
+        `spec`: speculative windows accrue decode-token stats here, from
+        the tokens the window actually emitted (schedule() skipped its
+        worst-case W*(k+1) reservation for them — avg_decode_batch_size
+        stays honest under speculation).
         """
         finished: List[Sequence] = []
+        if spec:
+            self.total_decode_tokens += sum(len(w) for w in token_windows)
         for seq, window_tokens in zip(seqs, token_windows):
             seq.num_pending = max(
                 0, seq.num_pending - (dispatched if dispatched is not None else len(window_tokens))

@@ -684,6 +684,38 @@ def forward(
                     sliding_window=sw, logit_softcap=softcap,
                     interpret=interp,
                 )
+        elif attn_impl == "pallas_chunk":
+            # Speculative-verify chunks (step_fn.build_spec_window): k+1
+            # query rows per sequence starting MID-BLOCK at position ctx-1,
+            # so KV enters via the row scatter — the whole-block prefill
+            # commit would clobber committed rows of the partial first
+            # block — and attention reads through the production flash
+            # varlen prefill kernel (paged; no O(ctx) full-KV gather).
+            from nanovllm_tpu.ops.pallas.flash_prefill import paged_attention_prefill
+
+            interp = jax.default_backend() != "tpu"
+            kc = kv_cache_write(kc, k, meta.slot_mapping, layer_idx)
+            vc = kv_cache_write(vc, v, meta.slot_mapping, layer_idx)
+            if mesh is not None:
+                from nanovllm_tpu.ops.pallas.sharded import (
+                    sharded_paged_attention_prefill,
+                )
+
+                attn = sharded_paged_attention_prefill(
+                    mesh, q, kc, vc, layer_idx, meta.block_tables,
+                    meta.context_lens, meta.q_gather, meta.q_positions,
+                    meta.token_seq, meta.token_qcol, scale=scale,
+                    sliding_window=sw, logit_softcap=softcap,
+                    interpret=interp,
+                )
+            else:
+                attn = paged_attention_prefill(
+                    q, kc, vc, layer_idx, meta.block_tables, meta.context_lens,
+                    meta.q_gather, meta.q_positions, meta.token_seq,
+                    meta.token_qcol, scale=scale,
+                    sliding_window=sw, logit_softcap=softcap,
+                    interpret=interp,
+                )
         else:
             kc = kv_cache_write(kc, k, meta.slot_mapping, layer_idx)
             vc = kv_cache_write(vc, v, meta.slot_mapping, layer_idx)
