@@ -57,8 +57,8 @@ def main():
     trace = []
     orig_schedule = engine.scheduler.schedule
 
-    def traced_schedule(window=1):
-        batch, is_prefill = orig_schedule(window)
+    def traced_schedule(window=1, **kw):
+        batch, is_prefill = orig_schedule(window, **kw)
         trace.append([
             "sched",
             [s.seq_id for s in batch],

@@ -6,6 +6,10 @@ interpret mode, asserting greedy outputs equal the tp=1 jnp-oracle engine."""
 import os
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from nanovllm_tpu.models.qwen3 import Qwen3Config, create_kv_caches, forward, init_params
 from nanovllm_tpu.parallel.mesh import build_mesh
 from nanovllm_tpu.parallel.sharding import shard_kv_caches, shard_params

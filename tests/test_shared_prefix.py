@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from nanovllm_tpu.ops.attention import kv_cache_write
 from nanovllm_tpu.ops.pallas.paged_attention import (
     paged_attention_decode_partial,

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from nanovllm_tpu.ops.attention import kv_cache_write, paged_attention_ref
 from nanovllm_tpu.ops.pallas.paged_attention import (
     kv_window_commit,
