@@ -9,13 +9,25 @@ bf16 weights never exist in HBM.
 
 Round-3 unpack rework (experiments/int4_probe2.py, decode 4-matmul chain
 x28 layers): the round-2 int32-widening nibble unpack (shifts only
-legalize on int32 in Mosaic; ~10 VPU passes + 8->32-bit relayouts) ran at
-1689 us/step. Measured alternatives: offset-binary f32-arithmetic unpack
-1572, int8-AND low nibble 1600, and **pltpu.bitcast(packed int8 ->
-jnp.int4) + native astype(bf16) = 1452 us/step** — Mosaic's own int4
-unpack path, 14% faster than the old kernel and 17% faster than the
-shipping int8 XLA dequant-dot (1749). The bitcast consumes "pair" packing
+legalize on int32 in Mosaic; ~10 VPU passes + 8->32-bit relayouts) lost
+to **pltpu.bitcast(packed int8 -> jnp.int4) + native astype(bf16)** —
+Mosaic's own int4 unpack path. The bitcast consumes "pair" packing
 (row 2i in the low nibble of byte row i) with even rows in low nibbles.
+
+Round-4 re-measurement (experiments/int4_sol_probe.py, SLOPE METHOD —
+earlier rounds' timings amortized the tunneled attachment's ~25 ms fixed
+dispatch cost into every number and were ~0.9-1.2 ms too high): the
+chain actually runs 533-544 us/step at S=1..32 (group-128 scales;
+per-channel would be 450-473) against a 233 us int4 byte floor, a 312-326
+us measured DMA floor through these tiles, and a 457-462 us clamped-DMA
+unpack+MXU floor — i.e. the kernel sits within ~2% of its measured
+compute floor and DMA hides completely behind it. bf16 via plain XLA
+measures 845-1063 us at the same shapes, so int4 decode is a true
+1.6-2.0x. The residual floor is the MXU weight-feed + unpack rate at
+decode-M, not bytes: mxu16 (bf16, zero-DMA) measures 1010 us at these
+tiles, and the int4 unpack adds nothing over its own dot (bc4 full ==
+unp4 clamped within noise). See docs/performance.md "INT4 speed of
+light" for the two-sided bound.
 
 The kernel also tiles the batch dim (grid (M, OUT, IN), IN innermost), so
 it serves PREFILL-scale token counts too — int4 prefill previously fell

@@ -159,22 +159,28 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, mesh=None,
                  tp: Optional[str] = None) -> jax.Array:
     """x [T, in] @ dequant(qt) [in, out] → [T, out] (x.dtype preserved).
 
-    Dispatch (v5e measurements, experiments/quant_profile.py, decode-shape
-    4-matmul chain x 28 layers, roofline 539/286 us for int8/int4):
-    - INT8 → XLA dequantize-then-dot: XLA streams the int8 tiles and fuses
-      the convert into the MXU feed WITHOUT materializing bf16 weights
-      (946 us — faster than both bf16 at 1401 us and the fused Pallas
-      kernel at 1142 us, whose ~3.7 us/launch x 112 calls/step is pure
-      overhead). Also TP-native: XLA partitions the dot over the mesh.
-    - INT4 → fused Pallas kernel for decode batches and pallas_dequantize
-      (one unpack-to-HBM streaming pass) + XLA matmul at prefill scale
-      (XLA's own int4 dequant-dot measures 2512 us at decode and 2.8x
-      slower than bf16 at prefill). Under a mesh the same dispatch runs
-      per shard via shard_map when the caller supplies the TP orientation
-      (`tp="column"`: out-dim sharded; `tp="row"`: in-dim sharded +
-      psum) — BASELINE config 4's int4 x tensor-parallel combination
-      stays on the fused path. Falls back to dequantize-then-dot for
-      non-tileable shapes or missing hints.
+    Dispatch (v5e, experiments/int4_sol_probe.py SLOPE-METHOD timings —
+    the tunneled attachment adds ~25 ms fixed per dispatch, which earlier
+    rounds' naive timings amortized into every number; decode-shape
+    4-matmul chain x 28 layers, byte floors int4/int8/bf16 = 233/466/932
+    us; plain-XLA bf16 runs 845-1080 us = ~90% of roofline at S<=128):
+    - INT8, S <= 4 → fused Pallas kernel (688 us at S=1; XLA's raw-int8
+      dot collapses to 2061 us at single-row batches).
+    - INT8, S >= 8 → XLA raw-int8 dot + per-channel scale epilogue
+      (569-726 us through S=128; the fused kernel measures 671-871
+      there). TP-native: XLA partitions the dot over the mesh.
+    - INT4 → fused Pallas kernel for decode batches (533-724 us at
+      S=1..128 vs bf16's 845-1063 — 1.6-2.0x; per-channel scales would
+      give 450-491, the group-128 default trades ~80 us for accuracy) and
+      pallas_dequantize (one unpack-to-HBM streaming pass) + XLA matmul
+      at prefill scale (XLA's own int4 dequant-dot does not vectorize the
+      nibble unpack). At S=256 fused (1289) ~ties bf16+dequant-pass; the
+      fused path also keeps HBM for the bf16 weights free. Under a mesh
+      the same dispatch runs per shard via shard_map when the caller
+      supplies the TP orientation (`tp="column"`: out-dim sharded;
+      `tp="row"`: in-dim sharded + psum) — BASELINE config 4's int4 x
+      tensor-parallel combination stays on the fused path. Falls back to
+      dequantize-then-dot for non-tileable shapes or missing hints.
     """
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu and qt.bits == 4 and mesh is None:
@@ -205,6 +211,25 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, mesh=None,
 
         return sharded_quant_matmul(mesh, x, qt, tp)
     if qt.bits == 8 and qt.scale.shape[-2] == 1:
+        import os as _os
+
+        if (
+            on_tpu and mesh is None and x.ndim == 2 and x.shape[0] <= 4
+            and not _os.environ.get("NANOVLLM_INT8_TINY_FUSED_OFF")
+        ):
+            # XLA's raw-int8 dot falls off a cliff at single-row batches
+            # (measured 2061 us/step for the decode chain at S=1 vs 569
+            # at S=8 — experiments/int4_sol_probe.py, slope-method); the
+            # fused kernel runs 688 us there (3.0x). Batches >= 8 stay on
+            # the XLA dot (569-726 us through S=128, beating the fused
+            # kernel's 671-871).
+            from nanovllm_tpu.ops.pallas.quant_matmul import (
+                fusable,
+                fused_quant_matmul,
+            )
+
+            if fusable(x, qt):
+                return fused_quant_matmul(x, qt)
         # Per-channel scales factor OUT of the contraction entirely:
         # sum_i x_i * (q_ij * s_j) == s_j * sum_i x_i * q_ij. Dot the raw
         # int8 values (XLA converts in the MXU feed) and scale the [T, out]
