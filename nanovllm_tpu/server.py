@@ -36,27 +36,19 @@ _DONE = object()
 
 
 class _Tracked:
-    __slots__ = ("seq", "reply", "emitted", "prev_text")
+    __slots__ = ("seq", "reply", "pump")
 
-    def __init__(self, seq, reply):
+    def __init__(self, seq, reply, pump):
         self.seq = seq
         self.reply = reply
-        self.emitted = 0
-        self.prev_text = ""
+        # The engine's unified streaming core (StreamPump): holdback and
+        # logprob-delta logic lives THERE, shared with generate_stream —
+        # the server only forwards what drain() returns.
+        self.pump = pump
 
 
-class Delta:
-    """One streamed token's payload."""
-
-    __slots__ = ("text", "emitted", "finish_reason", "logprob", "top")
-
-    def __init__(self, text, emitted, finish_reason=None, logprob=None,
-                 top=None):
-        self.text = text
-        self.emitted = emitted
-        self.finish_reason = finish_reason
-        self.logprob = logprob
-        self.top = top
+# Wire payloads are the engine's own StreamDelta objects.
+from nanovllm_tpu.engine.llm_engine import StreamDelta as Delta  # noqa: E402
 
 
 class EngineWorker(threading.Thread):
@@ -127,7 +119,9 @@ class EngineWorker(threading.Thread):
             if kind == "submit":
                 try:
                     seq = self.engine.add_request(a, b)
-                    self.tracked.append(_Tracked(seq, reply))
+                    self.tracked.append(
+                        _Tracked(seq, reply, self.engine.delta_pump(seq))
+                    )
                     reply.put(seq)
                 except Exception as e:
                     reply.put(e)
@@ -152,45 +146,16 @@ class EngineWorker(threading.Thread):
     def _emit_deltas(self) -> None:
         still = []
         for t in self.tracked:
-            seq = t.seq
             try:
-                done_status = seq.status in (
-                    SequenceStatus.FINISHED, SequenceStatus.ERROR
-                )
-                while t.emitted < seq.num_completion_tokens:
-                    t.emitted += 1
-                    last = (
-                        t.emitted == seq.num_completion_tokens and done_status
-                    )
-                    stable, delta = self.engine.stream_delta(
-                        seq, t.emitted, t.prev_text, last
-                    )
-                    t.prev_text = stable
-                    lp = top = None
-                    if seq.completion_logprobs is not None:
-                        i = t.emitted - 1
-                        if i < len(seq.completion_logprobs):
-                            lp = float(seq.completion_logprobs[i])
-                        if (seq.completion_top_logprobs is not None
-                                and i < len(seq.completion_top_logprobs)):
-                            # OpenAI responses carry token TEXT; the
-                            # library-level lists carry ids (tid, logprob).
-                            dec = self.engine.tokenizer.decode
-                            top = [(dec([tid]), float(v))
-                                   for tid, v in seq.completion_top_logprobs[i]]
-                    t.reply.put(Delta(delta, t.emitted, logprob=lp, top=top))
-                if done_status:
-                    t.reply.put(Delta(
-                        "", t.emitted,
-                        finish_reason=seq.finish_reason
-                        or ("error" if seq.status == SequenceStatus.ERROR
-                            else "stop"),
-                    ))
+                for d in t.pump.drain():
+                    t.reply.put(d)
+                if t.pump.finished:
                     t.reply.put(_DONE)
                 else:
                     still.append(t)
             except Exception as e:  # fail this request, keep the worker
-                logger.exception("delta emission failed for seq %s", seq.seq_id)
+                logger.exception(
+                    "delta emission failed for seq %s", t.seq.seq_id)
                 t.reply.put(e)
                 t.reply.put(_DONE)
         self.tracked = still

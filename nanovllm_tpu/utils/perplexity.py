@@ -71,3 +71,51 @@ def quantization_ppl_report(cfg, params, token_lists: List[List[int]],
         qp = quantize_params(jax.tree.map(lambda x: x, params), m)
         report[m] = perplexity(cfg, qp, token_lists, **kw)
     return report
+
+
+def quantization_dnll_report(cfg, params, token_lists: List[List[int]],
+                             weight_methods=("int8", "int4"),
+                             kv_dtypes=("int8", "float8_e4m3fn"),
+                             **kw) -> dict:
+    """The accuracy gate in NORTH-STAR units (BASELINE.md:28 "quantized
+    perplexity Δ < 0.1 vs bf16").
+
+    On fabricated (random-init) weights, absolute Δppl is not directly
+    comparable to a trained model's — random-init ppl sits near vocab
+    size, where a 0.1 absolute delta is numerically meaningless. The
+    scale-invariant equivalent is **ΔNLL per token in nats**:
+        ppl = exp(nll), so Δppl ≈ ppl · ΔNLL for small deltas.
+    At a trained model's ppl ≈ 10, the north star's Δppl < 0.1 is
+    ΔNLL < 0.01 nats/token — THAT is the gate applied here, per
+    bit-width, at the largest fabricatable geometry.
+
+    Returns {variant: {"ppl": float, "nll": nats/token,
+                       "dnll": nats/token vs bf16,
+                       "dppl_at_ppl10": projected Δppl at ppl 10}}.
+    """
+    import jax
+
+    from nanovllm_tpu.ops.quant import quantize_params
+
+    def entry(nll, n, base_nll_tok=None):
+        nll_tok = nll / max(n, 1)
+        e = {"ppl": math.exp(nll_tok), "nll": nll_tok}
+        if base_nll_tok is not None:
+            dnll = nll_tok - base_nll_tok
+            e["dnll"] = dnll
+            e["dppl_at_ppl10"] = 10.0 * dnll
+        return e
+
+    nll, n = sequence_nll(cfg, params, token_lists, **kw)
+    report = {"bf16": entry(nll, n)}
+    base = report["bf16"]["nll"]
+    for m in weight_methods:
+        qp = quantize_params(jax.tree.map(lambda x: x, params), m)
+        nll, n = sequence_nll(cfg, qp, token_lists, **kw)
+        report[f"{m}-W"] = entry(nll, n, base)
+    for kd in kv_dtypes:
+        kw2 = dict(kw)
+        kw2["kv_dtype"] = getattr(jnp, kd)
+        nll, n = sequence_nll(cfg, params, token_lists, **kw2)
+        report[f"{kd}-KV"] = entry(nll, n, base)
+    return report
