@@ -107,10 +107,10 @@ def make_model_dir(arch=QWEN3_0_6B, name="qwen3_0p6b") -> str:
     return d
 
 
-def make_prompts(n, shared_prefix=0, total_len=PROMPT_LEN):
+def make_prompts(n, shared_prefix=0, total_len=PROMPT_LEN, seed=0):
     import random
 
-    rng = random.Random(0)
+    rng = random.Random(seed)
     alphabet = "abcdefghijklmnopqrstuvwxyz "
     prefix = "".join(rng.choice(alphabet) for _ in range(shared_prefix))
     return [
@@ -231,39 +231,54 @@ def bench_config(model_dir, name, num_seqs, shared_prefix=0,
     return result
 
 
+def _staggered_pass(engine, prompts, params, interval_s):
+    """One staggered-arrival serving pass; returns (seqs, wall_s)."""
+    seqs = []
+    next_i = 0
+    n = len(prompts)
+    start = time.perf_counter()
+    while next_i < n or not engine.is_finished():
+        now = time.perf_counter()
+        while next_i < n and now - start >= next_i * interval_s:
+            seqs.append(engine.add_request(prompts[next_i], params))
+            next_i += 1
+        engine.step()
+    return seqs, time.perf_counter() - start
+
+
 def bench_staggered(model_dir, name, num_seqs, interval_s, arch=None,
                     prompt_len=PROMPT_LEN, block_size=BLOCK_SIZE,
                     **engine_kw):
     """Steady-state serving: requests arrive at a fixed interval instead
     of one synchronized wave, so TTFT reflects per-request admission +
-    prefill rather than the wave artifact (VERDICT r3 weak #5)."""
+    prefill rather than the wave artifact (VERDICT r3 weak #5).
+
+    Warmup is a FULL untimed staggered pass: staggered traffic hits jit
+    buckets a synchronized wave never does (single-sequence prefills,
+    every intermediate decode batch bucket as the running set ramps), and
+    paying those compiles inside the timed region published 50-86 s
+    "TTFTs" that were really compile storms. The warm pass uses different
+    prompt content (same lengths, so same buckets) so the timed pass's
+    prefix cache stays cold."""
     from nanovllm_tpu import SamplingParams
     from nanovllm_tpu.engine.sequence import SequenceStatus
 
     engine = build_engine(model_dir, num_seqs, prompt_len=prompt_len,
                           block_size=block_size, **engine_kw)
     prompts = make_prompts(num_seqs, 0, total_len=prompt_len)
+    warm_prompts = make_prompts(num_seqs, 0, total_len=prompt_len, seed=1)
     params = SamplingParams(temperature=0.0, max_tokens=DECODE_TOKENS,
                             ignore_eos=True)
-    run_once(engine, prompts[: min(8, num_seqs)], params)  # warm compiles
+    _staggered_pass(engine, warm_prompts, params, interval_s)
 
-    seqs = []
-    next_i = 0
-    start = time.perf_counter()
-    while next_i < num_seqs or not engine.is_finished():
-        now = time.perf_counter()
-        while next_i < num_seqs and now - start >= next_i * interval_s:
-            seqs.append(engine.add_request(prompts[next_i], params))
-            next_i += 1
-        engine.step()
-    end = time.perf_counter()
+    seqs, wall = _staggered_pass(engine, prompts, params, interval_s)
     assert all(s.status == SequenceStatus.FINISHED for s in seqs)
     ttfts = sorted((s.first_token_time - s.arrival_time) * 1e3
                    for s in seqs if s.first_token_time)
     n = len(ttfts)
     total_new = sum(s.num_completion_tokens for s in seqs)
     result = {
-        "total_tok_s": round(total_new / (end - start), 1),
+        "total_tok_s": round(total_new / wall, 1),
         "ttft_p50_ms": round(ttfts[n // 2], 1) if n else None,
         "ttft_p95_ms": round(ttfts[min(n - 1, int(n * 0.95))], 1) if n else None,
         "arrival_interval_ms": round(interval_s * 1e3, 1),
