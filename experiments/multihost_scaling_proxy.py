@@ -1,15 +1,27 @@
 """Config-5 scaling-efficiency proxy (BASELINE.md:27 ">85% tokens/s
 scaling efficiency at 2 hosts").
 
-Real DCN hardware is unavailable, so the published stand-in is: the SAME
-decode-heavy workload through the real engine (CPU backend) at
-  (a) 1 process, no multihost machinery, and
-  (b) 2 real processes under the replicated-deterministic serving loop
-      (gloo broadcast intake at multihost_sync_interval=8),
-reporting per-process steps/s ratio = the coordination efficiency factor.
-In the replicated-scheduler design, N-host tokens/s = N x per-host rate x
-this factor (each host owns its data-parallel shard of the batch; the
-intake broadcast is the only steady-state cross-host traffic).
+Real DCN hardware is unavailable, so the published stand-in holds the
+machine resources CONSTANT and varies only the coordination: the SAME
+decode-heavy workload through the real engine (CPU backend), 2 real
+processes under the replicated-deterministic serving loop, at
+  (a) multihost_sync_interval=8 (the recommended production setting), and
+  (b) multihost_sync_interval=10**9 (the no-coordination control — the
+      intake broadcast never runs mid-serving),
+reporting the per-process tokens/s ratio (a)/(b) = the coordination
+efficiency factor. The intake broadcast is the ONLY steady-state
+cross-host traffic in this design, so this ratio IS the sync cost; in the
+replicated-scheduler design, N-host tokens/s = N x per-host rate x this
+factor (each host owns its data-parallel shard of the batch).
+
+Why not 1-proc vs 2-proc directly: this CI machine has ONE CPU core, so
+two co-located processes each run at ~half speed from scheduler
+contention alone — a round-4 version of this proxy published that
+contention (0.48) as if it were coordination cost, and an earlier one
+compared two DIFFERENT engine configs (2.44). Real 2-host deployments
+don't share cores; contention is held constant here by keeping both runs
+at 2 processes. The 1-proc number is still measured and published for
+transparency, labeled with the core-count caveat.
 
 Caveats stated with the number: CPU-mesh processes, loopback gloo (real
 DCN adds latency but the broadcast is off the step critical path at
@@ -60,7 +72,8 @@ def make_model_dir(tmp="/tmp/mh_proxy_model"):
     return tmp
 
 
-def run_pair(model_dir, interval=8, out_dir="/tmp/mh_proxy"):
+def run_pair(model_dir, interval=8, out_dir=None):
+    out_dir = out_dir or f"/tmp/mh_proxy_{interval}"
     os.makedirs(out_dir, exist_ok=True)
     port = _free_port()
     env = dict(os.environ)
@@ -81,11 +94,14 @@ def run_pair(model_dir, interval=8, out_dir="/tmp/mh_proxy"):
         log, _ = p.communicate(timeout=300)
         assert p.returncode == 0, f"rank {r}:\n{log[-3000:]}"
     d = json.load(open(outs[0]))
-    return d["steps"] / d["wall_s"]
+    return d["tokens"] / d["wall_s"]
 
 
 def run_single(model_dir):
-    """Same workload, same engine config, one process, no multihost."""
+    """Same workload and the IDENTICAL engine config the multihost worker
+    uses (tests/multihost_worker.py:43-50 minus the distributed init), one
+    process — a round-4 version compared a decode_window=4 async worker to
+    a window-32 sync engine and published a meaningless 2.4 'efficiency'."""
     code = f"""
 import json, time, sys
 sys.path.insert(0, {REPO!r})
@@ -94,25 +110,24 @@ from nanovllm_tpu.engine.llm_engine import LLMEngine
 
 engine = LLMEngine(Config(
     model_path={make_model_dir()!r}, device="cpu", dtype="float32",
-    kvcache_block_size=16, num_kvcache_blocks=64, max_num_seqs=8,
-    max_model_len=256, async_scheduling=False,
-))
+    kvcache_block_size=16, num_kvcache_blocks=32, max_num_seqs=8,
+    max_num_batched_tokens=256, max_model_len=128, decode_window=4,
+    async_scheduling=True, pipeline_depth=2,
+    block_manager_backend="python",
+), rng_seed=0)
 p = SamplingParams(temperature=0.0, max_tokens=48, ignore_eos=True)
 prompts = [f"bench prompt {{i}} lorem ipsum" for i in range(4)]
 
 def one_pass():
-    for pr in prompts:
-        engine.add_request(pr, p)
-    steps = 0
+    waves = [engine.add_request(pr, p) for pr in prompts]
     while not engine.is_finished():
         engine.step()
-        steps += 1
-    return steps
+    return sum(s.num_completion_tokens for s in waves)
 
 one_pass()
 t0 = time.time()
-steps = one_pass()
-print(json.dumps({{"steps": steps, "wall_s": time.time() - t0}}))
+tokens = one_pass()
+print(json.dumps({{"tokens": tokens, "wall_s": time.time() - t0}}))
 """
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -121,31 +136,42 @@ print(json.dumps({{"steps": steps, "wall_s": time.time() - t0}}))
                          capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-3000:]
     d = json.loads(out.stdout.strip().splitlines()[-1])
-    return d["steps"] / d["wall_s"]
+    return d["tokens"] / d["wall_s"]
 
 
 def main():
     model_dir = make_model_dir()
-    # Best-of-3 interleaved (one shared CPU: transient load hits both).
-    r2 = r1 = 0.0
+    # Best-of-3 interleaved (one shared CPU: transient load hits all arms).
+    r_sync = r_nosync = r1 = 0.0
     for _ in range(3):
-        r2 = max(r2, run_pair(model_dir))
+        r_sync = max(r_sync, run_pair(model_dir, interval=8))
+        r_nosync = max(r_nosync, run_pair(model_dir, interval=10**9))
         r1 = max(r1, run_single(model_dir))
-    eff = r2 / r1
+    eff = r_sync / r_nosync
     result = {
-        "per_process_steps_s_2proc_interval8": round(r2, 2),
-        "steps_s_1proc": round(r1, 2),
+        "per_process_tok_s_2proc_interval8": round(r_sync, 2),
+        "per_process_tok_s_2proc_nosync_control": round(r_nosync, 2),
         "efficiency_proxy": round(eff, 3),
         "target": ">= 0.85 (BASELINE.md:27)",
+        "tok_s_1proc_same_machine": round(r1, 2),
+        "tok_s_1proc_caveat": (
+            "this CI machine has 1 CPU core; 2 co-located processes each "
+            "run at ~half speed from core contention alone, which real "
+            "2-host deployments don't have — so the efficiency proxy "
+            "holds process count constant and varies only the sync."
+        ),
         "method": (
-            "same decode-heavy workload via the real engine on CPU: 2 real "
-            "processes under replicated-deterministic serving (gloo intake "
-            "broadcast every 8 steps) vs 1 process without multihost "
-            "machinery; N-host tokens/s = N x per-host rate x this factor "
-            "in the replicated-scheduler design. Caveats: loopback gloo "
-            "(DCN adds latency off the critical path), fixture-sized model "
-            "(sync ships token ids, not tensors — cost is model-size-"
-            "independent). Continuously asserted <5% overhead in "
+            "same decode-heavy workload, IDENTICAL engine config, via the "
+            "real engine on CPU: 2 real processes under "
+            "replicated-deterministic serving, gloo intake broadcast every "
+            "8 steps vs a never-syncs control (interval=10^9); per-process "
+            "tokens/s ratio isolates the coordination cost, the only "
+            "cross-host traffic in steady state. N-host tokens/s = N x "
+            "per-host rate x this factor in the replicated-scheduler "
+            "design. Caveats: loopback gloo (DCN adds latency off the "
+            "critical path), fixture-sized model (sync ships token ids, "
+            "not tensors — cost is model-size-independent). Continuously "
+            "asserted <5% overhead in "
             "tests/test_multihost.py::test_sync_interval_cost."
         ),
     }

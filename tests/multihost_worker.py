@@ -125,14 +125,14 @@ def _bench(engine, rank, out_path):
     prompts = [f"bench prompt {i} lorem ipsum" for i in range(4)]
 
     def one_pass():
+        tokens = 0
         if rank == 0:
-            for pr in prompts:
-                engine.add_request(pr, p)
+            waves = [engine.add_request(pr, p) for pr in prompts]
             steps = 0
             while engine._intake_requests or not engine.is_finished():
                 engine.step()
                 steps += 1
-            return steps
+            return steps, sum(s.num_completion_tokens for s in waves)
         # Followers replay until the engine drains; is_finished() flips true
         # only after the intake sync delivers + completes the wave, so idle
         # followers block inside the broadcast — mirror rank 0's step count.
@@ -140,11 +140,11 @@ def _bench(engine, rank, out_path):
         while engine.has_unfinished() or steps == 0:
             engine.step()
             steps += 1
-        return steps
+        return steps, tokens
 
     one_pass()                       # warmup: compile all buckets
     t0 = time.time()
-    steps = one_pass()
+    steps, tokens = one_pass()
     dt = time.time() - t0
     if rank == 0:
         engine.multihost_shutdown()
@@ -152,7 +152,7 @@ def _bench(engine, rank, out_path):
         while not engine.stopped:
             engine.step()
     with open(out_path, "w") as f:
-        json.dump({"steps": steps, "wall_s": dt}, f)
+        json.dump({"steps": steps, "tokens": tokens, "wall_s": dt}, f)
     print(f"rank {rank}: {steps} steps in {dt:.3f}s", flush=True)
 
 
