@@ -67,13 +67,23 @@ def main():
         # Room for ctx + W*(k+1) on-device window growth.
         num_kvcache_blocks=16, max_model_len=2048,
     )
-    params = SamplingParams(temperature=0.0, max_tokens=1, ignore_eos=True)
+    # Keep the sequence LIVE mid-decode (ADVICE r4: finishing deallocates
+    # its blocks — resurrecting a finished seq times dispatches against an
+    # all--1 block table, i.e. dropped/clamped KV scatters instead of the
+    # production paged layout). Step only until decode has started, then
+    # stop stepping: status stays RUNNING, block_table stays valid.
+    params = SamplingParams(temperature=0.0, max_tokens=512, ignore_eos=True)
     seq = engine.add_request(B.make_prompts(1)[0], params)
-    while not engine.is_finished():
+    while seq.num_completion_tokens < 1:
         engine.step()
-    seq.status = type(seq.status).RUNNING  # reuse as a perpetual decode row
+    assert seq.status.name == "RUNNING" and seq.block_table, (
+        seq.status, seq.block_table)
     runner = engine.model_runner
     seqs = [seq]
+    # Reserve blocks through the longest timed window (W_HI iterations x
+    # (k+1) tokens at k=3) so every scatter in the timed region lands in a
+    # real reserved block, exactly like a scheduled production window.
+    engine.scheduler.block_manager.may_append(seq, window=W_HI * 4 + 2)
 
     t_dec, raw_dec = slope(runner, engine, seqs, spec=False)
     print(f"decode substep: {t_dec*1e3:.3f} ms/iter  raw={ {k: round(v*1e3,1) for k,v in raw_dec.items()} }", flush=True)
@@ -90,13 +100,8 @@ def main():
     print(f"spec iter (ref verify, k=3): {t_ref*1e3:.3f} ms/iter  raw={ {k: round(v*1e3,1) for k,v in raw_ref.items()} }", flush=True)
     runner.attn_impl = saved_impl
 
-    # Ablation: k=0 chunks (1-token verify through the same machinery).
-    engine.config.speculative_num_tokens = 0
-    for key in [k for k in runner._decode_fns if k and k[0] == "spec"]:
-        del runner._decode_fns[key]
-    # spec dispatch reads config.speculative_num_tokens at build time
-    engine.config.speculative_num_tokens = 0
-
+    # Ablation: chunk width (spec_k sets config.speculative_num_tokens —
+    # read at fn build time — and invalidates the spec fn cache itself).
     def spec_k(k):
         engine.config.speculative_num_tokens = k
         for key in [kk for kk in runner._decode_fns if kk and kk[0] == "spec"]:

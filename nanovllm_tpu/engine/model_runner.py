@@ -569,10 +569,12 @@ class ModelRunner:
         the verify forward materializes no logits — so any feature that
         reads or mutates logits disqualifies the batch. Sliding-window /
         mixed-attention models are excluded (rolling-buffer eviction breaks
-        the absolute-position slot math the multi-query chunk relies on),
-        as are meshes (the verify path is single-chip for now)."""
+        the absolute-position slot math the multi-query chunk relies on).
+        Meshes are eligible (VERDICT r4 #8): the verify chunk runs the same
+        sharded attention/matmul paths as chunked prefill — tested tp=2 ==
+        tp=1 in tests/test_spec_decode.py."""
         cfg = self.config
-        if not cfg.speculative_num_tokens or self.mesh is not None:
+        if not cfg.speculative_num_tokens:
             return False
         if self.model_config.sliding_window is not None:
             return False
@@ -627,7 +629,7 @@ class ModelRunner:
             )
             self._decode_fns[fk] = build_spec_window(
                 self.model_config, self.family.forward, self.block_size,
-                W, k, n, attn_impl=spec_attn, mesh=None,
+                W, k, n, attn_impl=spec_attn, mesh=self.mesh,
             )
         self._note_shape(("spec", fk, S, MAXBLK, TBUF))
 

@@ -98,6 +98,29 @@ def test_spec_matches_plain_greedy(model_dir, spec_k, ngram_n, window):
     spec.shutdown()
 
 
+def test_spec_under_tensor_parallel_mesh(model_dir):
+    """Spec windows run under tp=2 and reproduce tp=1 outputs exactly
+    (VERDICT r4 #8: configs 4/5 are mesh configs — the north-star targets
+    must be able to speculate). The verify chunk uses the same sharded
+    attention/matmul paths chunked prefill already runs under the mesh."""
+    plain = mkengine(model_dir)
+    want = _texts(plain.generate(PROMPTS, GREEDY))
+    plain.shutdown()
+
+    spec_tp = mkengine(
+        model_dir,
+        tensor_parallel_size=2,
+        speculative_num_tokens=3,
+        speculative_ngram_n=2,
+        decode_window=2,
+    )
+    assert spec_tp.model_runner.mesh is not None
+    got = _texts(spec_tp.generate(PROMPTS, GREEDY))
+    assert got == want
+    assert spec_tp.model_runner.spec_iterations > 0
+    spec_tp.shutdown()
+
+
 def test_spec_respects_max_tokens_and_stop_ids(model_dir):
     spec = mkengine(model_dir, speculative_num_tokens=3, decode_window=4)
     plain = mkengine(model_dir, decode_window=4)
