@@ -74,7 +74,11 @@ HBM_BYTES_S = 819e9
 # round 5): 0.61 us fixed + 0.90 us per committed 256-token block.
 ATTN_FIXED_S_PER_SEQ_LAYER = 0.61e-6       # per-seq grid/window overhead
 ATTN_S_PER_SEQ_LAYER_BLOCK = 0.903e-6      # per committed 256-token block
-MXU_FLOPS = 394e12  # v5e bf16 peak
+# v5e MXU peak is 197 TFLOP/s bf16 (394 is the chip's INT8 TOPS figure —
+# rounds 1-4 used that here, understating every published MFU by 2x; the
+# engine's matmuls all feed the MXU in bf16, including the int8/int4
+# paths, which convert in the feed).
+MXU_FLOPS = 197e12
 
 
 def arch_matmul_params(arch) -> int:
@@ -102,11 +106,21 @@ def decode_roofline_tok_s(arch, S: int, quantization=None,
     substeps also carry KV commit, sampler, and window mechanics, so
     fractions are honest-low."""
     wbytes = {None: 2.0, "int8": 1.0, "int4": 0.5}[quantization]
-    mm_bytes = arch_matmul_params(arch) * wbytes
-    lm_bytes = arch["vocab_size"] * arch["hidden_size"] * (
+    mm_params = arch_matmul_params(arch)
+    lm_params = arch["vocab_size"] * arch["hidden_size"]
+    lm_bytes = lm_params * (
         1.0 if (quantization and quantize_embeddings) else 2.0
     )
-    floor = (mm_bytes + lm_bytes) / HBM_BYTES_S
+    # Each matmul term is bound by max(weight stream, MXU compute): at
+    # decode batches the byte stream dominates, but by S=256 the MXU FLOP
+    # floor overtakes it (quantization stops buying time there — measured:
+    # the 8B int4 chain runs ~78% of bf16 MXU peak at S=256,
+    # docs/performance.md "Config-4 decomposition"). Charging bytes alone
+    # made large-S fracs meaningless (config-4 published 0.357 of an
+    # unreachable "roofline").
+    floor = max(mm_params * wbytes / HBM_BYTES_S,
+                2.0 * S * mm_params / MXU_FLOPS)
+    floor += max(lm_bytes / HBM_BYTES_S, 2.0 * S * lm_params / MXU_FLOPS)
     blocks = max(1.0, mean_ctx / 256.0)
     attn = ATTN_FIXED_S_PER_SEQ_LAYER + ATTN_S_PER_SEQ_LAYER_BLOCK * blocks
     floor += attn * S * arch["num_hidden_layers"]

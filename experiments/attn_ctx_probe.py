@@ -125,9 +125,12 @@ def main():
         }
         print(f"S={S}: t/(seq*layer) = {fixed*1e6:.2f} us "
               f"+ {slope*1e6:.2f} us/block", flush=True)
-    with open("/tmp/attn_ctx_probe.json", "w") as f:
+    import os
+    os.makedirs("/root/repo/experiments/results", exist_ok=True)
+    out = "/root/repo/experiments/results/attn_ctx_probe.json"
+    with open(out, "w") as f:
         json.dump(results, f, indent=2)
-    print("DONE", flush=True)
+    print(f"DONE -> {out}", flush=True)
 
 
 if __name__ == "__main__":

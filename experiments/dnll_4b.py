@@ -34,13 +34,32 @@ def main():
     cfg = Qwen3Config.from_hf(QWEN3_4B)
     params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     rng = np.random.RandomState(0)
-    texts = [rng.randint(0, 151936, size=n).tolist() for n in (96, 96)]
-    rep = quantization_dnll_report(cfg, params, texts, block_size=128)
+    # 4x256 tokens: the first cut (2x96) put the paired-ΔNLL noise floor
+    # near ±0.006 nats (int8-W measured a spurious -0.006 "improvement"),
+    # too coarse against a 0.01-nat bar.
+    texts = [rng.randint(0, 151936, size=256).tolist() for _ in range(4)]
+    rep = quantization_dnll_report(
+        cfg, params, texts, block_size=128,
+        weight_methods=(
+            "int8",
+            "int4",  # production default
+            {"label": "int4-asym-g64", "method": "int4",
+             "group_size": 64, "mode": "asym"},
+            {"label": "int4-asym-mse-g64", "method": "int4",
+             "group_size": 64, "mode": "asym_mse"},
+            {"label": "int4-asym-g32", "method": "int4",
+             "group_size": 32, "mode": "asym"},
+        ),
+    )
     for k, v in rep.items():
         print(f"{k:18s} ppl={v['ppl']:12.1f} dnll={v.get('dnll', 0.0):+.5f} "
               f"dppl@ppl10={v.get('dppl_at_ppl10', 0.0):+.4f}", flush=True)
     out = {k: {kk: float(vv) for kk, vv in v.items()} for k, v in rep.items()}
-    with open("/tmp/dnll_4b.json", "w") as f:
+    # Recorded IN the repo (VERDICT r4: the round-3 run's numbers lived
+    # only in a commit message) — README's accuracy table cites this file.
+    import os
+    os.makedirs("/root/repo/experiments/results", exist_ok=True)
+    with open("/root/repo/experiments/results/dnll_4b.json", "w") as f:
         json.dump(out, f, indent=2)
 
 

@@ -73,11 +73,18 @@ def main():
 
     blocks_per_seq = -(-(CTX + K) // BS) + 1
     NB = S * blocks_per_seq + 2
-    q0 = mkbf((S, Hq, Dh))
-    kn = mkbf((S, Hkv, Dh))
-    vn = mkbf((S, Hkv, Dh))
-    kst = mkbf((L, S, Hkv, K, Dh))
-    vst = mkbf((L, S, Hkv, K, Dh))
+    # Generate EVERYTHING on device: a 600 MB host array takes minutes
+    # through the tunneled attachment (engine_probe256 learned this for
+    # the caches; at 8B shapes the window state is just as big).
+    mk_bf16 = jax.jit(lambda k, s: (jax.random.normal(k, s, jnp.float32)
+                                    * 0.02).astype(jnp.bfloat16),
+                      static_argnums=1)
+    kq = jax.random.split(jax.random.PRNGKey(3), 5)
+    q0 = mk_bf16(kq[0], (S, Hq, Dh))
+    kn = mk_bf16(kq[1], (S, Hkv, Dh))
+    vn = mk_bf16(kq[2], (S, Hkv, Dh))
+    kst = mk_bf16(kq[3], (L, S, Hkv, K, Dh))
+    vst = mk_bf16(kq[4], (L, S, Hkv, K, Dh))
     kk = jax.random.split(jax.random.PRNGKey(7), 4)
     mk_data = jax.jit(lambda k: jax.random.randint(
         k, (L, NB, Hkv, BS, Dh), -127, 128, jnp.int8))
@@ -122,11 +129,14 @@ def main():
     from nanovllm_tpu.ops.quant import quant_matmul
 
     shapes = [(D, (Hq + 2 * Hkv) * Dh), (Hq * Dh, D), (D, 2 * I), (I, D)]
+    mk_f32 = jax.jit(lambda k, s: jax.random.normal(k, s, jnp.float32) * 0.02,
+                     static_argnums=1)
     qts = []
-    for s in shapes:
-        qts.append(quantize(mkbf(s).astype(jnp.float32), 4, group_size=128))
+    for i, s in enumerate(shapes):
+        qts.append(quantize(mk_f32(jax.random.PRNGKey(20 + i), s), 4,
+                            group_size=128))
     int4_bytes = sum(a * b for a, b in shapes) * 0.5 * L
-    h0 = mkbf((S, D))
+    h0 = mk_bf16(jax.random.PRNGKey(30), (S, D))
 
     def mm_chain(h, *qts):
         def body(_, hh):
@@ -145,7 +155,7 @@ def main():
     del qts
 
     # --- lm_head (int8 per-row, V=151936) + argmax ---
-    emb = quantize_embedding(mkbf((V, D)).astype(jnp.float32))
+    emb = quantize_embedding(mk_f32(jax.random.PRNGKey(31), (V, D)))
     from nanovllm_tpu.ops.quant import greedy_head
 
     def head_chain(h, data, scale):

@@ -179,9 +179,12 @@ def main():
             print(f"{key:14s} dnll = {dnll:+.5f}  relWMSE = {rel_mse:.2e}",
                   flush=True)
 
-    with open("/tmp/int4_dnll_sweep.json", "w") as f:
+    import os
+    os.makedirs("/root/repo/experiments/results", exist_ok=True)
+    out = "/root/repo/experiments/results/int4_dnll_sweep.json"
+    with open(out, "w") as f:
         json.dump(results, f, indent=2)
-    print("wrote /tmp/int4_dnll_sweep.json", flush=True)
+    print(f"wrote {out}", flush=True)
 
 
 if __name__ == "__main__":

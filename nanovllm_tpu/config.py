@@ -54,6 +54,16 @@ class Config:
     # --- TPU-native extensions (no reference counterpart) ---
     # Weight-only quantization applied at load time.
     quantization: Optional[str] = None
+    # Per-group scale granularity along the contraction dim. None = method
+    # default: int8 per-out-channel (-1); int4 G=64 — the granularity that
+    # meets the ΔNLL<0.01 nats/token north-star bar with asymmetric
+    # quantization (experiments/int4_dnll_sweep.py; BASELINE.md:28).
+    quantization_group_size: Optional[int] = None
+    # "sym" | "asym" | None ("auto"): int4 defaults to asymmetric
+    # (zero-point) quantization — symmetric int4 measures |ΔNLL| 0.092
+    # nats/token, 9x over the bar; asymmetric G=64 measures 0.003. int8 is
+    # always symmetric (its error is ~10x under every gate).
+    quantization_mode: Optional[str] = None
     # KV-cache storage dtype; "auto" follows `dtype`.
     kv_cache_dtype: str = "auto"
     # Use Pallas kernels for attention when available (falls back to the
@@ -198,6 +208,23 @@ class Config:
             raise ValueError(f"dtype must be one of {_VALID_DTYPES}, got {self.dtype!r}")
         if self.quantization not in _VALID_QUANT:
             raise ValueError(f"quantization must be one of {_VALID_QUANT}, got {self.quantization!r}")
+        if self.quantization_mode not in (None, "auto", "sym", "asym", "asym_mse"):
+            raise ValueError(
+                "quantization_mode must be one of "
+                "None/'auto'/'sym'/'asym'/'asym_mse', "
+                f"got {self.quantization_mode!r}"
+            )
+        if self.quantization_mode in ("asym", "asym_mse") and self.quantization != "int4":
+            raise ValueError(
+                f"quantization_mode={self.quantization_mode!r} requires quantization='int4'"
+            )
+        if self.quantization_group_size is not None and (
+            self.quantization_group_size == 0 or self.quantization_group_size < -1
+        ):
+            raise ValueError(
+                "quantization_group_size must be a positive group size or -1 "
+                f"(per-channel), got {self.quantization_group_size}"
+            )
         if self.kv_cache_dtype not in _VALID_KV_DTYPES:
             raise ValueError(
                 f"kv_cache_dtype must be one of {_VALID_KV_DTYPES}, got {self.kv_cache_dtype!r}"

@@ -243,8 +243,10 @@ class ModelRunner:
                 params = quantize_params(
                     params,
                     self.config.quantization,
+                    group_size=self.config.quantization_group_size,
                     include_embedding=self.config.quantize_lm_head,
                     dtype=self.config.dtype,
+                    mode=self.config.quantization_mode,
                 )
             return params
         logger.warning(
@@ -259,8 +261,10 @@ class ModelRunner:
 
             transform = make_init_quantizer(
                 self.config.quantization,
+                group_size=self.config.quantization_group_size,
                 include_embedding=self.config.quantize_lm_head,
                 dtype=self.config.dtype,
+                mode=self.config.quantization_mode,
             )
         return self.family.init_params(
             self.model_config, jax.random.PRNGKey(rng_seed), self.dtype,

@@ -70,17 +70,18 @@ def _pick_tiles(S: int, IN: int, OUT: int) -> tuple:
     return best
 
 
-def _kernel(x_ref, w_ref, s_ref, o_ref, acc, *, bits: int, group: int,
-            ti: int, to: int):
+def _kernel(x_ref, w_ref, s_ref, *rest, bits: int, group: int,
+            ti: int, to: int, has_bias: bool):
+    if has_bias:
+        b_ref, o_ref, acc = rest
+    else:
+        o_ref, acc = rest
     i = pl.program_id(2)
 
     @pl.when(i == 0)
     def _():
         acc[...] = jnp.zeros_like(acc)
 
-    # Scales factor OUT of each group's partial dot: apply them to the
-    # [S, TO] partial result instead of the [TI, TO] weights — VPU work per
-    # tile drops from O(TI*TO) dequant to O(S*TO) per group.
     x = x_ref[...].astype(jnp.bfloat16)
     scales = s_ref[0]  # [TI//G (or 1), TO]
 
@@ -100,9 +101,39 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc, *, bits: int, group: int,
         q = pltpu.bitcast(w_ref[...], jnp.int4).astype(jnp.bfloat16)
     gpt = max(1, ti // group)  # groups per tile
     span = ti // gpt
-    for g in range(gpt):
-        acc[...] += mm(x[:, g * span:(g + 1) * span],
-                       q[g * span:(g + 1) * span, :]) * scales[g][None, :]
+    if gpt <= 8:
+        # Coarse groups (per-channel int8, int4 G >= 128): scales factor
+        # OUT of each group's partial dot — apply them to the [S, TO]
+        # partial result instead of the [TI, TO] weights. VPU work per tile
+        # drops from O(TI*TO) dequant to O(S*TO) per group, at the cost of
+        # one MXU pipeline fill per group (~80 us/chain per halving of G at
+        # decode shapes — docs/performance.md "INT4 speed of light"). The
+        # asymmetric bias rides the same factoring: Σ_i∈g x_i·b_gj =
+        # (Σ_i∈g x_i)·b_gj, one row-sum + rank-1 update per group, in f32.
+        for g in range(gpt):
+            xg = x[:, g * span:(g + 1) * span]
+            acc[...] += mm(xg, q[g * span:(g + 1) * span, :]) * scales[g][None, :]
+            if has_bias:
+                xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+                acc[...] += xsum * b_ref[0][g][None, :]
+    else:
+        # Fine groups (the asymmetric-int4 G=64/32 accuracy defaults):
+        # 16-32 per-group dots would stall the MXU on pipeline fills, so
+        # dequantize in-register instead — w = q·s (+ b) in f32, rounded
+        # ONCE to bf16 (numerically identical to dequantize(qt, bf16),
+        # i.e. to keeping the model's weights in bf16 — the precision the
+        # bf16 baseline itself runs at), then ONE full-tile dot. The
+        # repeated [TI, TO] scale/bias planes are built by concatenating
+        # per-group broadcasts (Mosaic has no 2D->3D vector reshape).
+        def rep(rows):  # [gpt, TO] f32 -> [TI, TO] f32, row g repeated span times
+            return jnp.concatenate(
+                [jnp.broadcast_to(rows[g][None, :], (span, to))
+                 for g in range(gpt)], axis=0)
+
+        wdq = q.astype(jnp.float32) * rep(scales)
+        if has_bias:
+            wdq = wdq + rep(b_ref[0])
+        acc[...] += mm(x, wdq.astype(jnp.bfloat16))
 
     @pl.when(i == pl.num_programs(2) - 1)
     def _():
@@ -137,13 +168,15 @@ def fused_quant_matmul(x: jax.Array, qt: QuantizedTensor, *,
     assert TI and TO and (TI % G == 0 or G % TI == 0), (IN, OUT, G)
     packed_rows = TI if qt.bits == 8 else TI // 2
 
+    has_bias = qt.bias is not None
     kernel = functools.partial(
-        _kernel, bits=qt.bits, group=G, ti=TI, to=TO
+        _kernel, bits=qt.bits, group=G, ti=TI, to=TO, has_bias=has_bias
     )
     grid = (Spad // TS, OUT // TO, IN // TI)
     # Scales reshaped to a per-tile 3-D layout: tile i reads row block
     # (i*TI)//G_span. When G >= TI (e.g. per-out-channel int8) every tile
-    # inside a group reads the same single row.
+    # inside a group reads the same single row. The asymmetric bias shares
+    # the scale's [in/G, out] shape and rides the identical spec.
     if G >= TI:
         rows_per_tile = 1
         scale3 = qt.scale.reshape(IN // G, 1, OUT)
@@ -152,14 +185,20 @@ def fused_quant_matmul(x: jax.Array, qt: QuantizedTensor, *,
         rows_per_tile = TI // G
         scale3 = qt.scale.reshape(IN // TI, TI // G, OUT)
         scale_index = lambda m, j, i: (i, 0, j)
+    group_spec = pl.BlockSpec((1, rows_per_tile, TO), scale_index)
+    in_specs = [
+        pl.BlockSpec((TS, TI), lambda m, j, i: (m, i)),
+        pl.BlockSpec((packed_rows, TO), lambda m, j, i: (i, j)),
+        group_spec,
+    ]
+    operands = [x, qt.data, scale3]
+    if has_bias:
+        in_specs.append(group_spec)
+        operands.append(qt.bias.reshape(scale3.shape))
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((TS, TI), lambda m, j, i: (m, i)),
-            pl.BlockSpec((packed_rows, TO), lambda m, j, i: (i, j)),
-            pl.BlockSpec((1, rows_per_tile, TO), scale_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((TS, TO), lambda m, j, i: (m, j)),
         out_shape=jax.ShapeDtypeStruct((Spad, OUT), x.dtype),
         scratch_shapes=[pltpu.VMEM((TS, TO), jnp.float32)],
@@ -167,7 +206,7 @@ def fused_quant_matmul(x: jax.Array, qt: QuantizedTensor, *,
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, qt.data, scale3)
+    )(*operands)
     return out[:S] if Spad != S else out
 
 
@@ -197,15 +236,20 @@ def fusable(x: jax.Array, qt: QuantizedTensor) -> bool:
 # matmul).
 # ---------------------------------------------------------------------------
 
-def _dequant_kernel(w_ref, s_ref, o_ref, *, group, ti, to):
+def _dequant_kernel(w_ref, s_ref, *rest, group, ti, to, has_bias):
+    if has_bias:
+        b_ref, o_ref = rest
+    else:
+        o_ref, = rest
     q = pltpu.bitcast(w_ref[...], jnp.int4).astype(jnp.float32)  # [TI, TO]
     scales = s_ref[0]
     gpt = max(1, ti // group)
     span = ti // gpt
     for g in range(gpt):
-        o_ref[g * span:(g + 1) * span, :] = (
-            q[g * span:(g + 1) * span, :] * scales[g][None, :]
-        ).astype(o_ref.dtype)
+        w = q[g * span:(g + 1) * span, :] * scales[g][None, :]
+        if has_bias:
+            w += b_ref[0][g][None, :]
+        o_ref[g * span:(g + 1) * span, :] = w.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
@@ -226,17 +270,25 @@ def pallas_dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16, *,
         rows_per_tile = TI // G
         scale3 = qt.scale.reshape(IN // TI, TI // G, OUT)
         scale_index = lambda i, j: (i, 0, j)
+    has_bias = qt.bias is not None
+    group_spec = pl.BlockSpec((1, rows_per_tile, TO), scale_index)
+    in_specs = [
+        pl.BlockSpec((TI // 2, TO), lambda i, j: (i, j)),
+        group_spec,
+    ]
+    operands = [qt.data, scale3]
+    if has_bias:
+        in_specs.append(group_spec)
+        operands.append(qt.bias.reshape(scale3.shape))
     return pl.pallas_call(
-        functools.partial(_dequant_kernel, group=G, ti=TI, to=TO),
+        functools.partial(_dequant_kernel, group=G, ti=TI, to=TO,
+                          has_bias=has_bias),
         grid=(IN // TI, OUT // TO),
-        in_specs=[
-            pl.BlockSpec((TI // 2, TO), lambda i, j: (i, j)),
-            pl.BlockSpec((1, rows_per_tile, TO), scale_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((TI, TO), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((IN, OUT), dtype),
         interpret=interpret,
-    )(qt.data, scale3)
+    )(*operands)
 
 
 def dequantizable(qt: QuantizedTensor) -> bool:

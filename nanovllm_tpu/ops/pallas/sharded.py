@@ -297,10 +297,12 @@ def sharded_quant_matmul(mesh: Mesh, x, qt, tp: str, *,
     import jax.numpy as jnp
 
     bits, G, pack = qt.bits, qt.group_size, qt.pack
+    has_bias = qt.bias is not None
 
-    def local(xl, data, scale):
+    def local(xl, data, scale, *bias):
         qtl = QuantizedTensor(data=data, scale=scale, bits=bits,
-                              group_size=G, pack=pack)
+                              group_size=G, pack=pack,
+                              bias=bias[0] if has_bias else None)
         if fusable(xl, qtl):
             out = fused_quant_matmul(xl, qtl, interpret=interpret)
         elif dequantizable(qtl):
@@ -324,13 +326,21 @@ def sharded_quant_matmul(mesh: Mesh, x, qt, tp: str, *,
         data_spec = P(AXIS_MODEL, None)
         # Group scales [in/G, out] shard along in/G; per-channel scales
         # (size-1 in dim) cannot — callers guard (quant_matmul falls back).
+        # The asymmetric bias shares the scale's shape/sharding in both
+        # orientations; under tp="row" each shard's groups contribute their
+        # own (Σx_g)·b_g partials, which the psum sums — exact.
         scale_spec = P(AXIS_MODEL, None)
         out_spec = P(AXIS_DATA, None)
 
+    in_specs = [x_spec, data_spec, scale_spec]
+    operands = [x, qt.data, qt.scale]
+    if has_bias:
+        in_specs.append(scale_spec)
+        operands.append(qt.bias)
     return _shard_map_mod.shard_map(
         local,
         mesh=mesh,
-        in_specs=(x_spec, data_spec, scale_spec),
+        in_specs=tuple(in_specs),
         out_specs=out_spec,
         check_rep=False,
-    )(x, qt.data, qt.scale)
+    )(*operands)

@@ -13,11 +13,22 @@ Layout:
 - INT8: data int8 [..., in, out], scale f32 [..., in/G, out]
 - INT4: two values per byte packed along the *in* dim — data uint8
   [..., in/2, out] (row 2i in the low nibble, 2i+1 in the high nibble),
-  scale f32 [..., in/G, out]
+  scale f32 [..., in/G, out], optional bias f32 [..., in/G, out]
 
 G (group_size) divides the in dim; G == in gives per-(output-)channel
-scales. Quantization is symmetric (no zero points): int8 range ±127,
-int4 range ±7.
+scales. INT8 is symmetric (no zero points, range ±127). INT4 defaults to
+ASYMMETRIC (zero-point): w ≈ s·(q_u − z) with q_u ∈ [0,15] — stored as
+signed q_s = q_u − 8 (so the kernel's native int4 unpack still applies)
+plus a per-group bias b = s·(8 − z), giving w ≈ s·q_s + b. mode="asym"
+fits (s, z) from the group min/max; mode="asym_mse" additionally searches
+16 shrunken ranges per group for the MSE-optimal clip (quantize-time-only
+cost, same stored layout). Measured ΔNLL in nats/token vs the <0.01
+north-star bar (experiments/results/int4_dnll_sweep.json + dnll_4b.json,
+round 5): symmetric G=128 = −0.092 (9× over, at 2048-hidden); asym G=64 =
+−0.003 at 2048-hidden / +0.018 at the 4B geometry; asym G=32 = +0.002 /
++0.006 (meets both but costs ~17% decode); see the README accuracy table
+for the shipped default's numbers. mode="sym" (range ±7) remains
+available for A/B and old comparisons.
 """
 
 from __future__ import annotations
@@ -33,7 +44,7 @@ import numpy as np
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["data", "scale"],
+    data_fields=["data", "scale", "bias"],
     meta_fields=["bits", "group_size", "pack"],
 )
 @dataclass
@@ -48,13 +59,19 @@ class QuantizedTensor:
     the layout `pltpu.bitcast(packed, jnp.int4)` unpacks natively in the
     fused kernel (round-3 rework; the old "block256" halves layout served
     the retired int32-shift unpack and remains readable by the jnp
-    oracle)."""
+    oracle).
+
+    bias (asymmetric int4 only, else None): f32 [..., in/G, out] per-group
+    additive term — w ≈ q·scale + bias. It factors out of the contraction
+    as (Σ_g x)·bias_g, so the fused kernel pays one per-group row-sum of x
+    plus a rank-1 update, never a weight-shaped dequant."""
 
     data: jax.Array
     scale: jax.Array
     bits: int
     group_size: int
     pack: str = "none"
+    bias: Optional[jax.Array] = None
 
     @property
     def in_dim(self) -> int:
@@ -77,12 +94,18 @@ def _pick_group_size(in_dim: int, requested: Optional[int]) -> int:
     return in_dim
 
 
-def quantize(w: jax.Array, bits: int, group_size: Optional[int] = None) -> QuantizedTensor:
-    """Symmetric per-group quantization of a weight [..., in, out].
+def quantize(w: jax.Array, bits: int, group_size: Optional[int] = None,
+             mode: str = "sym") -> QuantizedTensor:
+    """Per-group quantization of a weight [..., in, out].
 
     Groups run along the in (contraction) dim so the matmul accumulates
-    `sum_g scale_g * (x_g . q_g)` — scales factor out of each group's
-    partial dot product.
+    `sum_g scale_g * (x_g . q_g) [+ sum(x_g) * bias_g]` — scales (and the
+    asymmetric bias) factor out of each group's partial dot product.
+
+    mode="sym": scale = absmax/qmax, range ±qmax, no bias.
+    mode="asym" (int4 only): affine min/max fit — q_u = round(w/s + z) in
+    [0,15], stored signed (q_u − 8) with bias = s·(8 − z) so
+    w ≈ s·q_s + b and the native signed int4 unpack path is unchanged.
 
     Runs in jnp ON DEVICE: pulling multi-GB weights through numpy costs
     minutes on a tunneled device attachment (and doubles host RAM). Layer-
@@ -91,41 +114,81 @@ def quantize(w: jax.Array, bits: int, group_size: Optional[int] = None) -> Quant
     OOMs a 16 GB chip)."""
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
+    if mode not in ("sym", "asym", "asym_mse"):
+        raise ValueError(f"mode must be 'sym'/'asym'/'asym_mse', got {mode!r}")
+    if mode != "sym" and bits != 4:
+        raise ValueError("asymmetric quantization is int4-only (int8's "
+                         "symmetric error already meets every gate)")
     *lead, in_dim, out_dim = w.shape
     G = _pick_group_size(in_dim, group_size)
     qmax = 127.0 if bits == 8 else 7.0
 
+    def pack4(q):
+        # pair: row 2i -> low nibble, row 2i+1 -> high nibble; int8
+        # storage (the fused kernel bitcasts the bytes straight to int4).
+        lo = q[0::2, :].astype(jnp.uint8) & 0x0F
+        hi = q[1::2, :].astype(jnp.uint8) & 0x0F
+        return jax.lax.bitcast_convert_type(lo | (hi << 4), jnp.int8)
+
     def core(w2):
         wf = w2.astype(jnp.float32).reshape(in_dim // G, G, out_dim)
+        if mode in ("asym", "asym_mse"):
+            wmin = wf.min(axis=-2, keepdims=True)   # [in/G, 1, out]
+            wmax = wf.max(axis=-2, keepdims=True)
+
+            def fit(lo, hi):
+                scale = jnp.maximum((hi - lo) / 15.0, 1e-12)
+                zp = jnp.clip(jnp.rint(-lo / scale), 0.0, 15.0)
+                return scale, zp
+
+            scale, zp = fit(wmin, wmax)
+            if mode == "asym_mse":
+                # Error-aware range fit: shrink the (min, max) window and
+                # keep the per-group scale minimizing reconstruction MSE —
+                # clipping tail values often beats covering them (finer
+                # steps for the bulk). Quantize-time-only cost; the stored
+                # (q, s, b) layout and the kernels are unchanged.
+                best_err = None
+                for c in np.linspace(1.0, 0.55, 16):
+                    s_c, z_c = fit(wmin * c, wmax * c)
+                    q_c = jnp.clip(jnp.rint(wf / s_c + z_c), 0.0, 15.0)
+                    err = (((q_c - z_c) * s_c - wf) ** 2).sum(
+                        axis=-2, keepdims=True)
+                    if best_err is None:
+                        best_err, scale, zp = err, s_c, z_c
+                    else:
+                        m = err < best_err
+                        best_err = jnp.where(m, err, best_err)
+                        scale = jnp.where(m, s_c, scale)
+                        zp = jnp.where(m, z_c, zp)
+            q_u = jnp.clip(jnp.rint(wf / scale + zp), 0.0, 15.0)
+            q = (q_u - 8.0).astype(jnp.int8).reshape(in_dim, out_dim)
+            bias = (scale * (8.0 - zp)).squeeze(-2).astype(jnp.float32)
+            scale = scale.squeeze(-2).astype(jnp.float32)
+            return pack4(q), scale, bias
         absmax = jnp.abs(wf).max(axis=-2, keepdims=True)  # [in/G, 1, out]
         scale = jnp.maximum(absmax / qmax, 1e-12)
         q = jnp.clip(jnp.rint(wf / scale), -qmax, qmax).astype(jnp.int8)
         q = q.reshape(in_dim, out_dim)
         scale = scale.squeeze(-2).astype(jnp.float32)  # [in/G, out]
-        if bits == 4:
-            # pair: row 2i -> low nibble, row 2i+1 -> high nibble; int8
-            # storage (the fused kernel bitcasts the bytes straight to
-            # int4).
-            lo = q[0::2, :].astype(jnp.uint8) & 0x0F
-            hi = q[1::2, :].astype(jnp.uint8) & 0x0F
-            data = jax.lax.bitcast_convert_type(lo | (hi << 4), jnp.int8)
-        else:
-            data = q
-        return data, scale
+        data = pack4(q) if bits == 4 else q
+        return data, scale, None
 
     wj = jnp.asarray(w)
     if len(lead) == 0:
-        data, scale = core(wj)
+        data, scale, bias = core(wj)
     elif len(lead) == 1:
-        data, scale = jax.lax.map(core, wj)
+        data, scale, bias = jax.lax.map(core, wj)
     else:
         flat = wj.reshape(-1, in_dim, out_dim)
-        data, scale = jax.lax.map(core, flat)
+        data, scale, bias = jax.lax.map(core, flat)
         data = data.reshape(*lead, *data.shape[1:])
         scale = scale.reshape(*lead, *scale.shape[1:])
+        if bias is not None:
+            bias = bias.reshape(*lead, *bias.shape[1:])
     return QuantizedTensor(
         data=data, scale=scale, bits=bits, group_size=G,
-        pack="pair" if bits == 4 else "none",
+        pack="pair" if bits == 4 else "none", bias=bias,
     )
 
 
@@ -152,6 +215,8 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     G = qt.group_size
     qf = q.astype(jnp.float32).reshape(*lead, in_dim // G, G, out)
     w = qf * qt.scale[..., :, None, :]
+    if qt.bias is not None:
+        w = w + qt.bias[..., :, None, :]
     return w.reshape(*lead, in_dim, out).astype(dtype)
 
 
@@ -365,7 +430,8 @@ def greedy_head(x: jax.Array, lm_w, mesh=None) -> jax.Array:
 _QUANT_KEYS = ("qkv", "o", "gate_up", "down")
 
 
-def _resolve_bits(method: str, group_size: Optional[int]) -> tuple:
+def _resolve_bits(method: str, group_size: Optional[int],
+                  mode: Optional[str] = None) -> tuple:
     bits = {"int8": 8, "int4": 4}.get(method)
     if bits is None:
         raise ValueError(f"unknown quantization method {method!r}")
@@ -373,21 +439,31 @@ def _resolve_bits(method: str, group_size: Optional[int]) -> tuple:
         # Per-out-channel scales: int8 steps are fine enough, and a single
         # scale row per tile keeps the fused kernel's VPU work minimal.
         group_size = -1
-    return bits, group_size
+    if group_size is None and bits == 4:
+        # G=64: the finest granularity that measured under the ΔNLL<0.01
+        # north-star bar with asymmetric quantization (int4_dnll_sweep) at
+        # acceptable kernel scale-loop cost (docs/performance.md frontier).
+        group_size = 64
+    if mode is None or mode == "auto":
+        # int4 needs the asymmetric fit to meet the accuracy gate; int8's
+        # symmetric error is already ~10x under every gate.
+        mode = "asym" if bits == 4 else "sym"
+    return bits, group_size, mode
 
 
 def quantize_params(params: dict, method: str, group_size: Optional[int] = None,
-                    include_embedding: bool = True, dtype: str = "bfloat16") -> dict:
+                    include_embedding: bool = True, dtype: str = "bfloat16",
+                    mode: Optional[str] = None) -> dict:
     """Quantize the big matmul weights of a loaded params pytree (applied
     once at load time, reference capability: none — north star). CONSUMES
     the input tree: each original weight is dropped as soon as its
     quantized replacement exists, bounding peak device memory to the full
     source tree + one quantized tensor (not source + full quantized)."""
-    bits, group_size = _resolve_bits(method, group_size)
+    bits, group_size, mode = _resolve_bits(method, group_size, mode)
     layers = params["layers"]
     for k in _QUANT_KEYS:
         orig = layers.pop(k)
-        layers[k] = quantize(orig, bits, group_size)
+        layers[k] = quantize(orig, bits, group_size, mode=mode)
         del orig
     if include_embedding:
         orig = params.pop("embedding")
@@ -402,16 +478,16 @@ def quantize_params(params: dict, method: str, group_size: Optional[int] = None,
 
 def make_init_quantizer(method: str, group_size: Optional[int] = None,
                         include_embedding: bool = True,
-                        dtype: str = "bfloat16"):
+                        dtype: str = "bfloat16", mode: Optional[str] = None):
     """A per-leaf transform for init_params(..., transform=...): quantizes
     each big weight THE MOMENT it is generated, so random-init + quantize
     of models whose bf16 weights alone would overflow HBM (Qwen3-8B on one
     16 GB chip) never materializes the full float tree."""
-    bits, group_size = _resolve_bits(method, group_size)
+    bits, group_size, mode = _resolve_bits(method, group_size, mode)
 
     def transform(name: str, arr):
         if name in _QUANT_KEYS:
-            return quantize(arr, bits, group_size)
+            return quantize(arr, bits, group_size, mode=mode)
         if include_embedding and name in ("embedding", "lm_head"):
             return quantize_embedding(arr, dtype)
         return arr

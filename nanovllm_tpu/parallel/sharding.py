@@ -60,8 +60,11 @@ def _quantize_spec(spec: P, qt) -> object:
         None if qt.scale.shape[i] == 1 else axes[i]
         for i in range(len(qt.scale.shape))
     ])
+    # The asymmetric int4 bias shares the scale's [..., in/G, out] shape and
+    # shards identically.
     return QuantizedTensor(data=spec, scale=scale_spec, bits=qt.bits,
-                           group_size=qt.group_size, pack=qt.pack)
+                           group_size=qt.group_size, pack=qt.pack,
+                           bias=None if qt.bias is None else scale_spec)
 
 
 def param_pspecs_for(params: dict, tie_word_embeddings: bool = False) -> dict:

@@ -110,9 +110,20 @@ def quantization_dnll_report(cfg, params, token_lists: List[List[int]],
     report = {"bf16": entry(nll, n)}
     base = report["bf16"]["nll"]
     for m in weight_methods:
-        qp = quantize_params(jax.tree.map(lambda x: x, params), m)
+        # A method is "int8"/"int4" (production defaults) or a dict
+        # {"label", "method", "group_size", "mode"} for candidate variants
+        # (the 4B gate run also reports the next-finer int4 granularity).
+        if isinstance(m, dict):
+            label = m.get("label") or m["method"]
+            qp = quantize_params(
+                jax.tree.map(lambda x: x, params), m["method"],
+                group_size=m.get("group_size"), mode=m.get("mode"),
+            )
+        else:
+            label = m
+            qp = quantize_params(jax.tree.map(lambda x: x, params), m)
         nll, n = sequence_nll(cfg, qp, token_lists, **kw)
-        report[f"{m}-W"] = entry(nll, n, base)
+        report[f"{label}-W"] = entry(nll, n, base)
     for kd in kv_dtypes:
         kw2 = dict(kw)
         kw2["kv_dtype"] = getattr(jnp, kd)

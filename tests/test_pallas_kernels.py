@@ -416,6 +416,44 @@ class TestFusedQuantMatmul:
         qt = quantize(jnp.ones((96, 100), jnp.float32), 8)
         assert not fusable(x, qt)
 
+    # G=64 exercises the per-tile scale rows; G=-1 (per-channel) exercises
+    # the G >= TI single-row path where one bias group spans many in-tiles.
+    @pytest.mark.parametrize("G", [64, -1])
+    def test_asym_bias_matches_jnp_dequant(self, G):
+        """Asymmetric int4: the kernel's factored (Σx_g)·b_g rank-1 update
+        must equal the oracle's explicit w = s·q + b dequant."""
+        from nanovllm_tpu.ops.pallas.quant_matmul import fusable, fused_quant_matmul
+        from nanovllm_tpu.ops.quant import dequantize, quantize
+
+        rng = jax.random.PRNGKey(77 + (G or 0))
+        x = jax.random.normal(jax.random.fold_in(rng, 0), (16, 256), jnp.float32)
+        x = x.astype(jnp.bfloat16).astype(jnp.float32)
+        # Shifted weights so the bias term is material, not noise.
+        w = jax.random.normal(jax.random.fold_in(rng, 1), (256, 384),
+                              jnp.float32) + 1.5
+        qt = quantize(w, 4, group_size=G, mode="asym")
+        assert qt.bias is not None
+        assert fusable(x, qt)
+        ref = np.asarray(x @ dequantize(qt, jnp.float32), np.float32)
+        got = np.asarray(fused_quant_matmul(x, qt, interpret=True),
+                         np.float32)
+        if 0 < G < 128:
+            # Fine groups take the in-register bf16 dequant path: the
+            # kernel rounds q*s to bf16 (== storing the dequantized weight
+            # in bf16, exactly the precision the bf16 baseline model keeps
+            # its weights at), while the oracle dequantizes in f32 — bound
+            # the NORMALIZED divergence at the bf16 rounding level
+            # (2^-8 relative per weight, incoherent across the
+            # contraction) instead of element-wise parity.
+            scale = np.abs(ref).mean()
+            err = np.abs(got - ref)
+            assert err.max() / scale < 0.02, (err.max(), scale)
+            assert err.mean() / scale < 3e-3, (err.mean(), scale)
+        else:
+            # Coarse groups (per-channel): f32 scales post-dot, f32 bias
+            # dot — f32-oracle parity.
+            np.testing.assert_allclose(got, ref, rtol=4e-3, atol=4e-3)
+
 
 class TestPallasDequantize:
     def test_matches_jnp_dequantize(self):
@@ -428,6 +466,21 @@ class TestPallasDequantize:
 
         w = jax.random.normal(jax.random.PRNGKey(5), (512, 384), jnp.float32)
         qt = quantize(w, 4)
+        assert dequantizable(qt)
+        ref = np.asarray(dequantize(qt, jnp.float32), np.float32)
+        got = np.asarray(
+            pallas_dequantize(qt, jnp.float32, interpret=True), np.float32)
+        np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-6)
+
+    def test_asym_bias_matches_jnp_dequantize(self):
+        from nanovllm_tpu.ops.pallas.quant_matmul import (
+            dequantizable, pallas_dequantize,
+        )
+        from nanovllm_tpu.ops.quant import dequantize, quantize
+
+        w = jax.random.normal(jax.random.PRNGKey(6), (512, 384),
+                              jnp.float32) - 0.7
+        qt = quantize(w, 4, group_size=64, mode="asym")
         assert dequantizable(qt)
         ref = np.asarray(dequantize(qt, jnp.float32), np.float32)
         got = np.asarray(

@@ -50,9 +50,10 @@ class TestPerplexity:
         cfg, params, texts = tiny
         report = quantization_ppl_report(cfg, params, texts)
         assert report["bf16"] > 1.0
-        # INT8 must track bf16 tightly even on random weights; INT4 looser.
+        # INT8 must track bf16 tightly even on random weights; INT4
+        # (asymmetric G=64 default since round 5) nearly as tightly.
         assert abs(report["int8"] - report["bf16"]) / report["bf16"] < 0.05
-        assert abs(report["int4"] - report["bf16"]) / report["bf16"] < 0.30
+        assert abs(report["int4"] - report["bf16"]) / report["bf16"] < 0.10
 
 
 class TestKVQuantPerplexity:
@@ -109,7 +110,8 @@ def test_dnll_gate_north_star_units(tmp_path):
     assert abs(rep["int8-W"]["dnll"]) < 0.01, rep["int8-W"]
     assert abs(rep["int8-KV"]["dnll"]) < 0.002, rep["int8-KV"]
     assert abs(rep["float8_e4m3fn-KV"]["dnll"]) < 0.02, rep["float8_e4m3fn-KV"]
-    # INT4 (group-128) does not meet the 0.01-nat bar on random weights;
-    # its measured level is recorded here and in README — the honest
-    # statement is the number, not a vacuous pass.
-    assert abs(rep["int4-W"]["dnll"]) < 0.12, rep["int4-W"]
+    # INT4 meets the north-star bar since round 5's asymmetric default:
+    # symmetric G=128 measured |ΔNLL| 0.092 (9x over); the
+    # experiments/int4_dnll_sweep.py sweep found asym G=64 at 0.003 and
+    # the production default switched (README "Quantization accuracy").
+    assert abs(rep["int4-W"]["dnll"]) < 0.01, rep["int4-W"]

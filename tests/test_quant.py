@@ -50,6 +50,50 @@ class TestQuantize:
         deq = np.asarray(dequantize(qt, jnp.float32))
         np.testing.assert_allclose(deq, np.asarray(w), rtol=1e-5)
 
+    def test_int4_asym_roundtrip_error(self):
+        w = _rand((256, 128), seed=11)
+        qt = quantize(w, 4, group_size=64, mode="asym")
+        assert qt.bias is not None and qt.bias.shape == qt.scale.shape
+        deq = dequantize(qt, jnp.float32)
+        err = np.abs(np.asarray(deq) - np.asarray(w))
+        scale = np.asarray(qt.scale)
+        bound = np.repeat(scale, qt.group_size, axis=0) / 2 + 1e-6
+        assert (err <= bound).all()
+
+    def test_asym_beats_sym_on_shifted_weights(self):
+        """The asymmetric fit's reason to exist: weights whose per-group
+        range is one-sided waste half the symmetric grid. (The dNLL measure
+        behind the asym default: experiments/int4_dnll_sweep.py.)"""
+        w = _rand((256, 128), seed=12) + 2.0  # all-positive groups
+        sym = dequantize(quantize(w, 4, group_size=64, mode="sym"), jnp.float32)
+        asym = dequantize(quantize(w, 4, group_size=64, mode="asym"), jnp.float32)
+        mse_sym = float(jnp.mean((sym - w) ** 2))
+        mse_asym = float(jnp.mean((asym - w) ** 2))
+        assert mse_asym < mse_sym / 2, (mse_sym, mse_asym)
+
+    def test_asym_rejects_int8(self):
+        with pytest.raises(ValueError):
+            quantize(_rand((64, 32)), 8, mode="asym")
+
+    def test_asym_mse_improves_weight_mse(self):
+        """The error-aware range search must never lose to the plain
+        min/max affine fit (it includes c=1.0 as a candidate)."""
+        w = _rand((512, 128), seed=15)
+        mse = {}
+        for mode in ("asym", "asym_mse"):
+            deq = dequantize(quantize(w, 4, group_size=64, mode=mode),
+                             jnp.float32)
+            mse[mode] = float(jnp.mean((deq - w) ** 2))
+        assert mse["asym_mse"] <= mse["asym"] * 1.001, mse
+
+    def test_int4_default_resolves_asym_g64(self):
+        from nanovllm_tpu.ops.quant import _resolve_bits
+
+        bits, g, mode = _resolve_bits("int4", None)
+        assert (bits, g, mode) == (4, 64, "asym")
+        bits, g, mode = _resolve_bits("int8", None)
+        assert (bits, g, mode) == (8, -1, "sym")
+
     def test_group_size_selection(self):
         qt = quantize(_rand((384, 64)), 8)  # 384 % 128 == 0
         assert qt.group_size == 128
@@ -89,6 +133,25 @@ class TestScanTransport:
 
         total, _ = jax.lax.scan(step, jnp.float32(0.0), qt)
         expect = sum(float(quant_matmul(x, quantize(w[i], 4)).sum()) for i in range(L))
+        np.testing.assert_allclose(float(total), expect, rtol=1e-4)
+
+    def test_asym_bias_through_scan(self):
+        """The bias data field must scan-slice alongside data/scale."""
+        L = 3
+        w = _rand((L, 64, 32), seed=13) + 1.0
+        qt = quantize(w, 4, group_size=32, mode="asym")
+        x = _rand((8, 64), seed=14)
+
+        def step(carry, layer_qt):
+            assert layer_qt.bias is not None
+            return carry + quant_matmul(x, layer_qt).sum(), None
+
+        total, _ = jax.lax.scan(step, jnp.float32(0.0), qt)
+        expect = sum(
+            float(quant_matmul(x, quantize(w[i], 4, group_size=32,
+                                           mode="asym")).sum())
+            for i in range(L)
+        )
         np.testing.assert_allclose(float(total), expect, rtol=1e-4)
 
 

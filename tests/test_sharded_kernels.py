@@ -264,3 +264,32 @@ def test_sharded_quant_matmul_matches_jnp(tp_mode):
     got = np.asarray(
         sharded_quant_matmul(mesh, x, qt, tp_mode, interpret=True), np.float32)
     np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
+
+
+@pytest.mark.parametrize("tp_mode", ["column", "row"])
+def test_sharded_quant_matmul_asym_matches_jnp(tp_mode):
+    """Asymmetric int4 under TP: the bias [in/G, out] shards like the
+    scales; under row-parallel each shard's (Σx_g)·b_g partials psum to the
+    exact total (the production config-4/5 int4 default path)."""
+    from nanovllm_tpu.ops.pallas.sharded import sharded_quant_matmul
+    from nanovllm_tpu.ops.quant import dequantize, quantize
+
+    rng = jax.random.PRNGKey(8)
+    IN, OUT, S = 512, 256, 16
+    x = jax.random.normal(jax.random.fold_in(rng, 0), (S, IN), jnp.float32)
+    x = x.astype(jnp.bfloat16).astype(jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (IN, OUT),
+                          jnp.float32) + 1.0
+    qt = quantize(w, 4, group_size=64, mode="asym")
+    assert qt.bias is not None
+    ref = np.asarray(x @ dequantize(qt, jnp.float32), np.float32)
+    mesh = build_mesh(tensor_parallel_size=2)
+    got = np.asarray(
+        sharded_quant_matmul(mesh, x, qt, tp_mode, interpret=True), np.float32)
+    # G=64 takes the kernel's in-register bf16 dequant (== a bf16 weight
+    # store; see test_pallas_kernels asym notes) — bound normalized error
+    # at the bf16 rounding level rather than element-wise f32 parity.
+    scale = np.abs(ref).mean()
+    err = np.abs(got - ref)
+    assert err.max() / scale < 0.02, (err.max(), scale)
+    assert err.mean() / scale < 3e-3, (err.mean(), scale)
