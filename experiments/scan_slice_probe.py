@@ -102,8 +102,31 @@ def main():
             return out
 
         t_sc = timeit(jax.jit(scan_chain), h0, *stacked)
+
+        # stacked-kernel: weights closed over FULLY STACKED, addressed by
+        # the carry's layer index through the scalar-prefetch kernel — the
+        # round-5 production path for quantized models.
+        def scan_stacked_chain(h, *stk):
+            def step(carry, _):
+                hh, li = carry
+
+                def qmm(x_, qt):
+                    return quant_matmul(x_, qt, layer_idx=li)
+
+                y1 = qmm(hh, stk[0])
+                h2 = qmm(y1[:, :2048], stk[1])
+                y2 = qmm(h2, stk[2])
+                h3 = qmm(y2[:, :3072], stk[3])
+                out = (hh.astype(jnp.float32) * 0.9
+                       + h3.astype(jnp.float32) * 1e-3).astype(hh.dtype)
+                return (out, li + 1), None
+            (out, _), _ = jax.lax.scan(step, (h, jnp.int32(0)), None,
+                                       length=L)
+            return out
+
+        t_st = timeit(jax.jit(scan_stacked_chain), h0, *stacked)
         print(f"{name:14s} closure {t_cl*1e6:7.1f} us   scan {t_sc*1e6:7.1f} us"
-              f"   delta {(t_sc-t_cl)*1e6:+7.1f}", flush=True)
+              f"   stacked-kernel {t_st*1e6:7.1f} us", flush=True)
 
 
 if __name__ == "__main__":

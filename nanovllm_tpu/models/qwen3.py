@@ -495,12 +495,37 @@ def forward(
     # The stacked KV caches ride in the scan CARRY (not xs/ys): XLA keeps the
     # per-layer scatter in place on the donated buffers, where xs/ys would
     # round-trip the full multi-GB cache through fresh copies every step.
+    #
+    # QUANTIZED weights stay OUT of the scan xs entirely: scan-slicing a
+    # stacked weight to feed a pallas_call materializes the slice (a full
+    # per-layer weight copy each step — measured +275 us per 0.6B decode
+    # chain, experiments/scan_slice_probe.py; XLA's own dots fuse the slice
+    # free, so bf16/int8-XLA paths are unaffected). They ride in the
+    # CLOSURE fully stacked, addressed by the carry's layer_idx through the
+    # stacked fused kernel's scalar-prefetch index maps — the same pattern
+    # as the KV caches themselves.
+    from nanovllm_tpu.ops.quant import QuantizedTensor
+
+    stacked_qt = {
+        k: v for k, v in params["layers"].items()
+        if isinstance(v, QuantizedTensor)
+    }
+    layers_xs = {
+        k: v for k, v in params["layers"].items() if k not in stacked_qt
+    }
+
     def layer_step(carry, lp, sw):
         h, kc, vc, layer_idx = carry
 
+        def wmat(x_, name, tp_):
+            if name in stacked_qt:
+                return matmul(x_, stacked_qt[name], mesh=mesh, tp=tp_,
+                              layer_idx=layer_idx)
+            return matmul(x_, lp[name], mesh=mesh, tp=tp_)
+
         # Attention block (reference: qwen3.rs:208-240)
         x = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, uo)
-        qkv = matmul(x, lp["qkv"], mesh=mesh, tp="column")  # [T, (Hq+2Hkv)*Dh]
+        qkv = wmat(x, "qkv", "column")  # [T, (Hq+2Hkv)*Dh]
         if cfg.attention_bias:
             qkv = qkv + lp["qkv_bias"]
         q, k, v = jnp.split(qkv, [Hq * Dh, (Hq + Hkv) * Dh], axis=-1)
@@ -723,7 +748,7 @@ def forward(
                 q, kc, vc, layer_idx, meta, scale,
                 sliding_window=sw, logit_softcap=softcap,
             )
-        a_out = matmul(attn.reshape(T, Hq * Dh), lp["o"], mesh=mesh, tp="row")
+        a_out = wmat(attn.reshape(T, Hq * Dh), "o", "row")
         if cfg.use_post_norms:
             # Gemma-2 sandwich norm: normalize the block OUTPUT before the
             # residual add.
@@ -734,11 +759,11 @@ def forward(
         # norm (HF: post_attention_layernorm for Qwen/Llama,
         # pre_feedforward_layernorm for Gemma 2).
         x = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps, uo)
-        gate_up = matmul(x, lp["gate_up"], mesh=mesh, tp="column")
+        gate_up = wmat(x, "gate_up", "column")
         gate, up = jnp.split(gate_up, 2, axis=-1)
         act = (jax.nn.gelu(gate, approximate=True)
                if cfg.hidden_act == "gelu_tanh" else jax.nn.silu(gate))
-        m_out = matmul(act * up, lp["down"], mesh=mesh, tp="row")
+        m_out = wmat(act * up, "down", "row")
         if cfg.use_post_norms:
             m_out = rms_norm(m_out, lp["post_ff_ln"], cfg.rms_norm_eps, uo)
         h = h + m_out
@@ -781,7 +806,7 @@ def forward(
         if Lm:
             grouped = jax.tree.map(
                 lambda x: x[:Lm].reshape(Lm // P, P, *x.shape[1:]),
-                params["layers"],
+                layers_xs,
             )
             carry, ys = jax.lax.scan(group_step, carry, grouped)
             if window is not None:
@@ -789,7 +814,7 @@ def forward(
                 ys = jax.tree.map(lambda x: x.reshape(Lm, *x.shape[2:]), ys)
         ys_tail = []
         for i in range(Lm, L):
-            lp = jax.tree.map(lambda x, i=i: x[i], params["layers"])
+            lp = jax.tree.map(lambda x, i=i: x[i], layers_xs)
             sw_i = (
                 cfg.sliding_window
                 if cfg.layer_types[i] == "sliding_attention" else None
@@ -809,7 +834,7 @@ def forward(
         (h, k_cache, v_cache, _), ys = jax.lax.scan(
             lambda c, lp: layer_step(c, lp, cfg.sliding_window),
             (h, k_cache, v_cache, jnp.int32(0)),
-            params["layers"],
+            layers_xs,
         )
 
     h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps, uo)

@@ -221,7 +221,7 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
 
 
 def quant_matmul(x: jax.Array, qt: QuantizedTensor, mesh=None,
-                 tp: Optional[str] = None) -> jax.Array:
+                 tp: Optional[str] = None, layer_idx=None) -> jax.Array:
     """x [T, in] @ dequant(qt) [in, out] → [T, out] (x.dtype preserved).
 
     Dispatch (v5e, experiments/int4_sol_probe.py SLOPE-METHOD timings —
@@ -248,6 +248,24 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, mesh=None,
       dequantize-then-dot for non-tileable shapes or missing hints.
     """
     on_tpu = jax.default_backend() == "tpu"
+    if layer_idx is not None and qt.data.ndim == 3:
+        # Layer-STACKED weight inside the model's scan: take the stacked
+        # fused kernel when it applies — slicing the stack in XLA-land to
+        # feed a pallas_call materializes a full per-layer weight copy
+        # every scan step (measured +275 us/28-layer decode chain,
+        # experiments/scan_slice_probe.py), while the stacked kernel
+        # addresses the layer directly in HBM via scalar-prefetch index
+        # maps. Every other path (XLA dots, jnp oracle) fuses or tolerates
+        # the slice — fall through with the sliced view.
+        if on_tpu and qt.bits == 4 and mesh is None and x.ndim == 2:
+            from nanovllm_tpu.ops.pallas.quant_matmul import (
+                fusable_stacked,
+                fused_quant_matmul_stacked,
+            )
+
+            if fusable_stacked(x, qt):
+                return fused_quant_matmul_stacked(x, qt, layer_idx)
+        qt = jax.tree.map(lambda a: a[layer_idx], qt)
     if on_tpu and qt.bits == 4 and mesh is None:
         from nanovllm_tpu.ops.pallas.quant_matmul import (
             dequantizable,
@@ -311,13 +329,17 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, mesh=None,
 
 
 def matmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor], mesh=None,
-           tp: Optional[str] = None) -> jax.Array:
+           tp: Optional[str] = None, layer_idx=None) -> jax.Array:
     """The model-forward matmul dispatch: plain arrays take the MXU matmul,
     QuantizedTensor takes the dequant path. `tp` declares the weight's
     tensor-parallel orientation ("column"/"row") so quantized matmuls can
-    run per-shard under a mesh."""
+    run per-shard under a mesh. `layer_idx` + a layer-stacked
+    QuantizedTensor select one layer WITHOUT materializing the slice (the
+    stacked fused kernel; see quant_matmul)."""
     if isinstance(w, QuantizedTensor):
-        return quant_matmul(x, w, mesh=mesh, tp=tp)
+        return quant_matmul(x, w, mesh=mesh, tp=tp, layer_idx=layer_idx)
+    if layer_idx is not None and w.ndim == 3:
+        w = w[layer_idx]
     return x @ w
 
 

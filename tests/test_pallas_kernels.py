@@ -416,6 +416,31 @@ class TestFusedQuantMatmul:
         qt = quantize(jnp.ones((96, 100), jnp.float32), 8)
         assert not fusable(x, qt)
 
+    @pytest.mark.parametrize("mode,G", [("sym", 128), ("asym", 64)])
+    def test_stacked_layer_indexed_matches_sliced(self, mode, G):
+        """The layer-STACKED kernel (scalar-prefetch layer index — the
+        model scan's no-copy path) must equal the per-layer kernel on the
+        sliced weight, for every layer."""
+        from nanovllm_tpu.ops.pallas.quant_matmul import (
+            fusable_stacked, fused_quant_matmul, fused_quant_matmul_stacked,
+        )
+        from nanovllm_tpu.ops.quant import quantize
+
+        L = 3
+        rng = jax.random.PRNGKey(5 + G)
+        x = jax.random.normal(jax.random.fold_in(rng, 0), (8, 256), jnp.float32)
+        x = x.astype(jnp.bfloat16).astype(jnp.float32)
+        w = jax.random.normal(jax.random.fold_in(rng, 1), (L, 256, 384),
+                              jnp.float32) + (0.5 if mode == "asym" else 0.0)
+        qts = quantize(w, 4, group_size=G, mode=mode)
+        assert fusable_stacked(x, qts)
+        for l in range(L):
+            qtl = jax.tree.map(lambda a, l=l: a[l], qts)
+            ref = np.asarray(fused_quant_matmul(x, qtl, interpret=True))
+            got = np.asarray(fused_quant_matmul_stacked(
+                x, qts, jnp.int32(l), interpret=True))
+            np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
     # G=64 exercises the per-tile scale rows; G=-1 (per-channel) exercises
     # the G >= TI single-row path where one bias group spans many in-tiles.
     @pytest.mark.parametrize("G", [64, -1])
