@@ -54,10 +54,12 @@ class Config:
     # --- TPU-native extensions (no reference counterpart) ---
     # Weight-only quantization applied at load time.
     quantization: Optional[str] = None
-    # Per-group scale granularity along the contraction dim. None = method
-    # default: int8 per-out-channel (-1); int4 G=64 — the granularity that
-    # meets the ΔNLL<0.01 nats/token north-star bar with asymmetric
-    # quantization (experiments/int4_dnll_sweep.py; BASELINE.md:28).
+    # Per-group scale granularity along the contraction dim. None = auto:
+    # int8 per-out-channel (-1); int4 G=64 for models under 2560 hidden and
+    # G=32 at 2560+ (the 4B+ class) — the measured granularities that meet
+    # the ΔNLL<0.01 nats/token north-star bar with asymmetric quantization
+    # at each scale (README "Quantization accuracy";
+    # model_runner._resolve_quant_group_size).
     quantization_group_size: Optional[int] = None
     # "sym" | "asym" | None ("auto"): int4 defaults to asymmetric
     # (zero-point) quantization — symmetric int4 measures |ΔNLL| 0.092

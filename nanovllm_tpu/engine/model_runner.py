@@ -228,6 +228,25 @@ class ModelRunner:
         self.spec_iterations = 0
 
     # ------------------------------------------------------------------
+    def _resolve_quant_group_size(self):
+        """int4 group-size auto-pick by model scale (measured, round 5):
+        quantization error in ΔNLL grows with width×depth — asym G=64
+        meets the <0.01 nats/token bar at a 2048-hidden/8-layer geometry
+        (-0.003) but misses at Qwen3-4B (+0.018, results/dnll_4b.json),
+        where G=32 meets it (+0.006). At the large-batch regime big models
+        serve in, finer groups are nearly free (8B S=256 chain: G=64
+        24.63 ms vs G=32 25.23 — the matmuls are MXU-bound there), while
+        at small-model decode G=32 costs ~17% — so: hidden >= 2560 (the
+        4B+ class) takes G=32, smaller models keep G=64. Explicit
+        config.quantization_group_size always wins."""
+        if self.config.quantization_group_size is not None:
+            return self.config.quantization_group_size
+        if self.config.quantization == "int4" and (
+            getattr(self.model_config, "hidden_size", 0) >= 2560
+        ):
+            return 32
+        return None  # method default (int4 G=64 / int8 per-channel)
+
     def _load_or_init_params(self, rng_seed: int):
         import glob
         import os
@@ -243,7 +262,7 @@ class ModelRunner:
                 params = quantize_params(
                     params,
                     self.config.quantization,
-                    group_size=self.config.quantization_group_size,
+                    group_size=self._resolve_quant_group_size(),
                     include_embedding=self.config.quantize_lm_head,
                     dtype=self.config.dtype,
                     mode=self.config.quantization_mode,
@@ -261,7 +280,7 @@ class ModelRunner:
 
             transform = make_init_quantizer(
                 self.config.quantization,
-                group_size=self.config.quantization_group_size,
+                group_size=self._resolve_quant_group_size(),
                 include_embedding=self.config.quantize_lm_head,
                 dtype=self.config.dtype,
                 mode=self.config.quantization_mode,

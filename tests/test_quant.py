@@ -94,6 +94,34 @@ class TestQuantize:
         bits, g, mode = _resolve_bits("int8", None)
         assert (bits, g, mode) == (8, -1, "sym")
 
+    def test_engine_auto_group_size_by_model_scale(self, tmp_model_dir):
+        """hidden >= 2560 (4B+ class) auto-selects G=32; smaller models
+        keep the method default (G=64) — README 'Quantization accuracy'."""
+        import json
+        import os
+
+        from nanovllm_tpu import Config
+        from nanovllm_tpu.engine.model_runner import ModelRunner
+
+        def runner_G(hidden, heads, explicit=None):
+            with open(os.path.join(tmp_model_dir, "config.json"), "w") as f:
+                json.dump(dict(
+                    model_type="qwen3", vocab_size=512, hidden_size=hidden,
+                    intermediate_size=2 * hidden, num_hidden_layers=1,
+                    num_attention_heads=heads, num_key_value_heads=heads,
+                    head_dim=64, tie_word_embeddings=True,
+                ), f)
+            cfg = Config(model_path=tmp_model_dir, dtype="float32",
+                         quantization="int4", kvcache_block_size=16,
+                         num_kvcache_blocks=8, max_model_len=64,
+                         quantization_group_size=explicit)
+            r = ModelRunner(cfg)
+            return r.params["layers"]["qkv"].group_size
+
+        assert runner_G(2048, 4) == 64
+        assert runner_G(2560, 4) == 32
+        assert runner_G(2560, 4, explicit=128) == 128
+
     def test_group_size_selection(self):
         qt = quantize(_rand((384, 64)), 8)  # 384 % 128 == 0
         assert qt.group_size == 128
