@@ -387,6 +387,14 @@ def pallas_dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16, *,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((TI, TO), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((IN, OUT), dtype),
+        # Fine-group scale+bias blocks are f32 at TI/G rows each: at G=32
+        # they add TI*TO/2 bytes of double-buffered operand on top of the
+        # packed weight + bf16 output tiles, which blew the default ~16 MB
+        # scoped-vmem budget at 8B shapes (bench config-4 compile OOM,
+        # round 5). v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*operands)
 
