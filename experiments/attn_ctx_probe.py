@@ -105,8 +105,14 @@ def main():
     print("devices:", jax.devices(), flush=True)
     results = {}
     points = []
+    # ATTN_CTX_FAST=1: 3-point grid — tunnel remote-compiles dominate the
+    # probe wall (~2 min/point), and 3 points already overdetermine the
+    # 2-parameter linear fit; the full 6-point grid is for off-tunnel use.
+    import os
+    blocks_grid = ((1, 8, 32) if os.environ.get("ATTN_CTX_FAST")
+                   else (1, 2, 4, 8, 16, 32))
     for S in (32, 1):
-        for blocks in (1, 2, 4, 8, 16, 32):
+        for blocks in blocks_grid:
             t = measure(S, blocks)
             key = f"S{S}_blk{blocks}"
             results[key] = round(t * 1e6, 3)
